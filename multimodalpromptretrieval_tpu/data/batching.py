@@ -1,0 +1,115 @@
+"""Fixed-shape padded batching (XLA-friendly replacement for "longest").
+
+The reference tokenizes with ``padding="longest"`` per batch
+(architectures/T5VisionModel.py:161-167) — dynamic shapes that would force
+an XLA recompile per batch. Here token ids are padded to a small set of
+static bucket widths (multiples of ``bucket_multiple``, capped at
+``max_source_length``) so each (variant, bucket) pair compiles exactly once.
+Truncation semantics are unchanged (max_source_length cut, EOS preserved by
+the tokenizer); padding past the longest row only adds masked positions,
+which cannot change encoder outputs at valid positions (attention masks) —
+EM parity is preserved while jit never retraces in the hot loop.
+
+The final short batch is padded up to the batch size with repeated rows and
+a ``valid`` mask so every step sees identical shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def bucket_width(length: int, multiple: int = 32, maximum: int = 512,
+                 minimum: int = 32) -> int:
+    w = max(minimum, -(-length // multiple) * multiple)
+    return min(w, maximum)
+
+
+def pad_ids(rows: Sequence[Sequence[int]], width: int, pad_id: int = 0):
+    """(ids, mask) as (B, width) int32 arrays; rows longer than ``width``
+    are truncated (the tokenizer already applied max_source_length)."""
+    B = len(rows)
+    ids = np.full((B, width), pad_id, np.int32)
+    mask = np.zeros((B, width), np.int32)
+    for i, r in enumerate(rows):
+        r = list(r)[:width]
+        ids[i, : len(r)] = r
+        mask[i, : len(r)] = 1
+    return ids, mask
+
+
+def pad_labels(rows: Sequence[Sequence[int]], width: int):
+    """Target ids padded with -100 (the CE ignore index, HF parity)."""
+    B = len(rows)
+    out = np.full((B, width), -100, np.int64)
+    for i, r in enumerate(rows):
+        r = list(r)[:width]
+        out[i, : len(r)] = r
+    return out
+
+
+@dataclasses.dataclass
+class Batch:
+    """Host-side batch; ``valid`` marks real rows (False = fill rows added
+    to reach the static batch size)."""
+
+    arrays: Dict[str, np.ndarray]
+    entries: List[dict]
+    valid: np.ndarray
+
+    def __len__(self):
+        return int(self.valid.sum())
+
+
+def make_batches(
+    entries: List[dict],
+    batch_size: int,
+    *,
+    encode_fn,
+    image_fn=None,
+    label_fn=None,
+    target_fn=None,
+    shuffle_rng: Optional[np.random.Generator] = None,
+    bucket_multiple: int = 32,
+    max_source_length: int = 512,
+) -> List[Batch]:
+    """Assemble fixed-shape batches.
+
+    encode_fn(entry) -> list[int] token ids for the prompt;
+    image_fn(entries) -> (B, 3, R, R) float32;
+    target_fn(entry) -> list[int] answer token ids (generative variants);
+    label_fn(entry) -> int class label (head variants).
+    """
+    order = list(range(len(entries)))
+    if shuffle_rng is not None:
+        shuffle_rng.shuffle(order)
+    batches: List[Batch] = []
+    for s in range(0, len(order), batch_size):
+        chunk_idx = order[s : s + batch_size]
+        chunk = [entries[i] for i in chunk_idx]
+        n_valid = len(chunk)
+        while len(chunk) < batch_size:  # static batch shape
+            chunk.append(chunk[-1])
+        token_rows = [encode_fn(e) for e in chunk]
+        width = bucket_width(max(len(r) for r in token_rows),
+                             bucket_multiple, max_source_length)
+        ids, mask = pad_ids(token_rows, width)
+        arrays: Dict[str, np.ndarray] = {
+            "input_ids": ids, "text_mask": mask}
+        if image_fn is not None:
+            arrays["images"] = image_fn(chunk)
+        if target_fn is not None:
+            target_rows = [target_fn(e) for e in chunk]
+            twidth = bucket_width(max(len(r) for r in target_rows),
+                                  8, 128, 8)
+            arrays["labels"] = pad_labels(target_rows, twidth)
+        if label_fn is not None:
+            arrays["class_labels"] = np.asarray(
+                [label_fn(e) for e in chunk], np.int32)
+        valid = np.zeros((batch_size,), bool)
+        valid[:n_valid] = True
+        batches.append(Batch(arrays, chunk, valid))
+    return batches

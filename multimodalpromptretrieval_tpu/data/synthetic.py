@@ -1,0 +1,142 @@
+"""Hermetic synthetic SLAKE-format mini-dataset generator.
+
+The reference assumes the real SLAKE / VQA-RAD archives are on disk; this
+environment (and CI) has no datasets, so the integration path runs on a
+generated corpus: SLAKE-format JSON entries + small geometric images whose
+content determines the answers (shape / color / count questions), so a
+model can actually learn the mapping and retrieval neighbours are
+meaningful. Layout matches dataset/VQAFeatureDataset.py:60-84 parsing:
+``{root}/{split}.json`` + ``{root}/imgs/<name>.png``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_COLORS: Dict[str, Tuple[int, int, int]] = {
+    "red": (220, 40, 40),
+    "green": (40, 200, 60),
+    "blue": (50, 80, 230),
+    "yellow": (230, 220, 50),
+}
+_SHAPES = ("circle", "square", "cross")
+
+
+def _draw(shape: str, color: Tuple[int, int, int], count: int,
+          size: int, rng: random.Random) -> np.ndarray:
+    img = np.full((size, size, 3), 245, np.uint8)
+    r = size // 8
+    for _ in range(count):
+        cx = rng.randint(r + 1, size - r - 2)
+        cy = rng.randint(r + 1, size - r - 2)
+        y, x = np.mgrid[0:size, 0:size]
+        if shape == "circle":
+            mask = (x - cx) ** 2 + (y - cy) ** 2 <= r * r
+        elif shape == "square":
+            mask = (np.abs(x - cx) <= r) & (np.abs(y - cy) <= r)
+        else:  # cross
+            mask = ((np.abs(x - cx) <= r // 3) & (np.abs(y - cy) <= r)) | (
+                (np.abs(x - cx) <= r) & (np.abs(y - cy) <= r // 3))
+        img[mask] = color
+    return img
+
+
+def generate_synthetic_slake(
+    root: str, *, n_train: int = 64, n_validate: int = 16, n_test: int = 16,
+    image_size: int = 64, seed: int = 0,
+) -> Dict[str, List[dict]]:
+    """Write {root}/{train,validate,test}.json + imgs/*.png. Returns entries.
+
+    Each image gets three QA pairs (shape / color / presence) across open
+    and closed answer types, mirroring SLAKE's schema fields (qid, img_name,
+    question, answer, q_lang, content_type, answer_type).
+    """
+    rng = random.Random(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    from PIL import Image
+
+    out: Dict[str, List[dict]] = {}
+    qid = 0
+    img_id = 0
+    for split, n in (("train", n_train), ("validate", n_validate),
+                     ("test", n_test)):
+        entries = []
+        for _ in range(n):
+            shape = rng.choice(_SHAPES)
+            color_name = rng.choice(sorted(_COLORS))
+            count = rng.randint(1, 3)
+            name = f"synthetic_{img_id:05d}.png"
+            img_id += 1
+            arr = _draw(shape, _COLORS[color_name], count, image_size, rng)
+            Image.fromarray(arr).save(os.path.join(root, "imgs", name))
+            qa = [
+                ("what shape is shown in the image?", shape, "Shape", "open"),
+                (f"what color is the {shape}?", color_name, "Color", "open"),
+                (f"is there a {rng.choice(_SHAPES)} in the image?",
+                 None, "Presence", "closed"),
+            ]
+            for question, answer, task, atype in qa:
+                if answer is None:
+                    asked = question.split("is there a ")[1].split(" in")[0]
+                    answer = "yes" if asked == shape else "no"
+                entries.append({
+                    "qid": qid,
+                    "img_name": name,
+                    "question": question,
+                    "answer": answer,
+                    "q_lang": "en",
+                    "content_type": task,
+                    "answer_type": atype,
+                })
+                qid += 1
+        with open(os.path.join(root, f"{split}.json"), "w") as f:
+            json.dump(entries, f)
+        out[split] = entries
+    return out
+
+
+def synthetic_config(root: str, *, batch_size: int = 8, epochs: int = 2,
+                     retrieval: bool = False, k: int = 3,
+                     use_image_info: bool = True,
+                     image_size: int = 64) -> dict:
+    """An experiment.json-schema config wired to the synthetic dataset with
+    tiny t5/clip overrides — runs end-to-end on CPU in seconds."""
+    return {
+        "seed": 88,
+        "max_source_length": 64,
+        "max_target_length": 16,
+        "dataset": "SLAKE",
+        "datafolder": root,
+        "use_image_info": 1 if use_image_info else 0,
+        "T5_version": "t5-small",
+        "vision_encoder": "ViT-B/32",
+        "vision_checkpoint": None,
+        "use_BAN": 0,
+        "use_prediction_head": 0,
+        "freeze": 0,
+        "glimpse": 2,
+        "retrieval": 1 if retrieval else 0,
+        "k": k,
+        "quantifier": 1,
+        "hyperparameters": {
+            "epochs": epochs,
+            "learning_rate": 1e-3,
+            "batch_size": batch_size,
+        },
+        "t5_overrides": {
+            "vocab_size": 4096, "d_model": 64, "d_kv": 16, "d_ff": 128,
+            "num_layers": 2, "num_decoder_layers": 2, "num_heads": 4,
+        },
+        "clip_overrides": {
+            "embed_dim": 64, "image_resolution": image_size,
+            "vision_width": 64, "vision_layers": 2, "patch_size": 16,
+            "context_length": 32, "vocab_size": 514, "text_width": 64,
+            "vision_heads_override": 2, "text_heads_override": 2,
+        },
+        "retrieval_cache_dir": os.path.join(root, "cache"),
+    }

@@ -1,0 +1,345 @@
+"""MPR_Gen model variants: visual-prefix T5 over CLIP image tokens.
+
+The TPU-native counterpart of the reference's four model classes
+(architectures/T5VisionModel.py, T5VisionModelFrozen.py,
+T5VisionModelPredictionHead.py, T5VisionModelPredictionHeadBAN.py). One
+config + one params pytree covers all variants; every compute path is a pure
+jittable function over fixed-shape batches, so the driver jits a single
+train step / predict step per shape bucket.
+
+Reference-behavior notes (each deliberate — see SURVEY.md §Quirks):
+
+  * the visual prefix is ALL 50 CLIP tokens projected to the shared space
+    (T5VisionModel.py:112-139,176), prepended to the token embeddings;
+  * optional CrossModalMapping MLP on the image tokens
+    (T5VisionModel.py:136-137; inert in the reference main path);
+  * t5-large needs a Linear(512, 1024) on the image tokens
+    (T5VisionModel.py:49-51);
+  * the prediction head reads ``encoder_last_hidden_state[:, -1, :]`` — the
+    last position under *longest* padding (quirk #10). With bucketed padding
+    that position is recovered by gathering at (prefix + max text length in
+    the batch - 1);
+  * the reference's pred-head forward runs the full T5 (incl. decoder with
+    labels) just to obtain encoder states (PredictionHead.py:43-47); the
+    encoder output does not depend on the decoder, so only the encoder runs
+    here — outputs are bit-identical, just cheaper;
+  * the BAN variant L2-normalizes question and image embeddings, ignores
+    retrieval / use_image_info for the prompt, and hardcodes glimpse=10
+    (BAN.py:84-85,116-139 — quirks #9);
+  * ``freeze`` trains only the shared token-embedding matrix
+    (T5VisionModelFrozen.py:21-24) — expressed as a trainable-mask pytree
+    consumed by the optimizer, not by stop-gradients in the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.models.clip import (
+    CLIPConfig,
+    clip_image_tokens,
+    init_clip,
+)
+from multimodalpromptretrieval_tpu.models.t5 import (
+    T5Config,
+    init_t5,
+    shift_right,
+    t5_decode_train,
+    t5_encode,
+    t5_greedy_decode,
+    t5_loss,
+)
+from multimodalpromptretrieval_tpu.models import ban as ban_ops
+from multimodalpromptretrieval_tpu.ops.layers import dense
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MPRGenConfig:
+    t5: T5Config
+    clip: CLIPConfig
+    use_image_info: bool = True
+    use_prediction_head: bool = False
+    use_ban: bool = False
+    freeze: bool = False
+    num_classes: int = 0
+    # The reference's BAN modules hardcode glimpse=10 regardless of the
+    # config key (quirk #9); keep the same default and let callers opt out.
+    glimpse: int = 10
+    max_source_length: int = 512
+    max_target_length: int = 128
+    use_mapping: bool = False
+
+    @property
+    def needs_projection(self) -> bool:
+        return self.t5.d_model != self.clip.embed_dim
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.clip.num_image_tokens
+
+
+def init_mprgen(key, cfg: MPRGenConfig) -> Params:
+    """Random init of the full variant pytree. Checkpoint converters
+    (models/convert.py) overwrite the ``clip`` / ``t5`` sub-trees."""
+    k_clip, k_t5, k_proj, k_head, k_ban1, k_ban2, k_map = jax.random.split(key, 7)
+    params: Params = {
+        "clip": init_clip(k_clip, cfg.clip),
+        "t5": init_t5(k_t5, cfg.t5),
+    }
+    if cfg.needs_projection:
+        bound = cfg.clip.embed_dim ** -0.5
+        params["proj"] = {
+            "w": jax.random.uniform(
+                k_proj, (cfg.clip.embed_dim, cfg.t5.d_model),
+                minval=-bound, maxval=bound),
+            "b": jnp.zeros((cfg.t5.d_model,)),
+        }
+    if cfg.use_mapping:
+        params["mapping"] = init_mapping(k_map, cfg.clip.embed_dim)
+    if cfg.use_prediction_head:
+        bound = cfg.t5.d_model ** -0.5
+        params["head"] = {
+            "w": jax.random.uniform(
+                k_head, (cfg.t5.d_model, cfg.num_classes),
+                minval=-bound, maxval=bound),
+            "b": jax.random.uniform(
+                jax.random.fold_in(k_head, 1), (cfg.num_classes,),
+                minval=-bound, maxval=bound),
+        }
+    if cfg.use_ban:
+        d = cfg.t5.d_model
+        params["ban"] = {
+            "att": ban_ops.init_biattention(k_ban1, d, d, d, cfg.glimpse),
+            "res": ban_ops.init_biresnet(k_ban2, d, d, cfg.glimpse),
+        }
+    return params
+
+
+def trainable_mask(params: Params, cfg: MPRGenConfig) -> Params:
+    """True where the optimizer may update.
+
+    The CLIP tower is always frozen (T5VisionModel.py:26-30). ``freeze``
+    additionally freezes all of T5 except the shared embedding matrix
+    (T5VisionModelFrozen.py:21-24).
+    """
+
+    def sub(tree, value):
+        return jax.tree.map(lambda _: value, tree)
+
+    mask = {k: sub(v, True) for k, v in params.items()}
+    mask["clip"] = sub(params["clip"], False)
+    if cfg.freeze:
+        mask["t5"] = sub(params["t5"], False)
+        mask["t5"]["shared"] = True
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal mapping (create_mapping.py:18-46); inert unless use_mapping
+# ---------------------------------------------------------------------------
+
+
+def init_mapping(key, dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    bound = dim ** -0.5
+    u = lambda k, shape: jax.random.uniform(  # noqa: E731
+        k, shape, minval=-bound, maxval=bound)
+    return {
+        "fc1": {"w": u(k1, (dim, dim)), "b": u(jax.random.fold_in(k1, 1), (dim,))},
+        "fc2": {"w": u(k2, (dim, dim)), "b": u(jax.random.fold_in(k2, 1), (dim,))},
+        # CLIP-style learned temperature (create_mapping.py:22)
+        "logit_scale": jnp.asarray(2.6592),
+    }
+
+
+def mapping_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Linear -> ReLU -> Linear (create_mapping.py:25-31)."""
+    h = jax.nn.relu(dense(x, p["fc1"]["w"], p["fc1"]["b"]))
+    return dense(h, p["fc2"]["w"], p["fc2"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+
+def image_prefix(params: Params, cfg: MPRGenConfig,
+                 images: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, R, R) preprocessed images -> (B, 50, d_model) prefix tokens.
+
+    Mirrors get_image_token_features (T5VisionModel.py:112-139): full ViT
+    forward returning all tokens, optional mapping MLP, optional projection
+    to d_model for t5-large.
+    """
+    tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+    if cfg.use_mapping and "mapping" in params:
+        tokens = mapping_apply(params["mapping"], tokens)
+    if cfg.needs_projection:
+        tokens = dense(tokens, params["proj"]["w"], params["proj"]["b"])
+    return tokens
+
+
+def combine_inputs(params: Params, cfg: MPRGenConfig, images, input_ids,
+                   text_mask):
+    """prepare_input parity (T5VisionModel.py:141-184): returns
+    (inputs_embeds, attention_mask) with the image prefix prepended iff
+    use_image_info."""
+    question_embedding = params["t5"]["shared"][input_ids]
+    if not cfg.use_image_info:
+        return question_embedding, text_mask
+    prefix = image_prefix(params, cfg, images)
+    B, P, _ = prefix.shape
+    embeds = jnp.concatenate([prefix, question_embedding], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, P), text_mask.dtype), text_mask], axis=1)
+    return embeds, mask
+
+
+# ---------------------------------------------------------------------------
+# Generative variant (base + frozen — freezing is an optimizer-mask concern)
+# ---------------------------------------------------------------------------
+
+
+def generative_loss(params: Params, cfg: MPRGenConfig, images, input_ids,
+                    text_mask, labels) -> jnp.ndarray:
+    """forward(batch) -> CE loss (T5VisionModel.py:219-234)."""
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    return t5_loss(params["t5"], cfg.t5, embeds, mask, labels)
+
+
+def generative_predict(params: Params, cfg: MPRGenConfig, images, input_ids,
+                       text_mask, max_new_tokens: int = 20) -> jnp.ndarray:
+    """predict(batch) -> generated token ids (T5VisionModel.py:196-207)."""
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
+    return t5_greedy_decode(params["t5"], cfg.t5, enc, mask,
+                            max_new_tokens=max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Prediction-head variant
+# ---------------------------------------------------------------------------
+
+
+def _dropout(x, rate, rng):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def head_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
+                text_mask, rng=None) -> jnp.ndarray:
+    """Linear head over the last (padded) encoder position (quirk #10).
+
+    The reference indexes [:, -1, :] under longest-padding
+    (PredictionHead.py:45); with a fixed-width bucket the same position is
+    prefix_len + (longest text in batch) - 1.
+    """
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
+    text_lens = jnp.sum(text_mask, axis=1)
+    prefix = cfg.num_image_tokens if cfg.use_image_info else 0
+    last = prefix + jnp.max(text_lens) - 1
+    pooled = jax.lax.dynamic_index_in_dim(enc, last, axis=1, keepdims=False)
+    pooled = _dropout(pooled, 0.1, rng)
+    return dense(pooled, params["head"]["w"], params["head"]["b"])
+
+
+def head_loss(params, cfg, images, input_ids, text_mask, class_labels,
+              rng=None):
+    logits = head_logits(params, cfg, images, input_ids, text_mask, rng)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
+
+
+def head_predict(params, cfg, images, input_ids, text_mask):
+    logits = head_logits(params, cfg, images, input_ids, text_mask)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# BAN variant
+# ---------------------------------------------------------------------------
+
+
+def _ban_features(params: Params, cfg: MPRGenConfig, images, input_ids,
+                  text_mask):
+    """BAN prepare_input (BAN.py:116-139): L2-normalized question token
+    embeddings (encoder input) and L2-normalized image tokens; the prompt
+    carries no retrieval hint and no image prefix."""
+    q = params["t5"]["shared"][input_ids]
+    q = q / jnp.sqrt(jnp.sum(jnp.square(q), axis=2, keepdims=True))
+    img = clip_image_tokens(params["clip"], cfg.clip, images)
+    if cfg.needs_projection:
+        img = dense(img, params["proj"]["w"], params["proj"]["b"])
+    img = img / jnp.sqrt(jnp.sum(jnp.square(img), axis=2, keepdims=True))
+    return q, img
+
+
+def ban_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
+               text_mask, rng=None) -> jnp.ndarray:
+    q_emb, img = _ban_features(params, cfg, images, input_ids, text_mask)
+    enc = t5_encode(params["t5"], cfg.t5, q_emb, text_mask)
+    r_att = r_res = r_drop = None
+    if rng is not None:
+        r_att, r_res, r_drop = jax.random.split(rng, 3)
+    att, _ = ban_ops.biattention_apply(params["ban"]["att"], img, enc,
+                                       rng=r_att)
+    fused = ban_ops.biresnet_apply(params["ban"]["res"], img, enc, att,
+                                   rng=r_res)
+    fused = _dropout(fused, 0.1, r_drop)
+    return dense(fused, params["head"]["w"], params["head"]["b"])
+
+
+def ban_loss(params, cfg, images, input_ids, text_mask, class_labels,
+             rng=None):
+    logits = ban_logits(params, cfg, images, input_ids, text_mask, rng)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
+
+
+def ban_predict(params, cfg, images, input_ids, text_mask):
+    logits = ban_logits(params, cfg, images, input_ids, text_mask)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Variant dispatch (main.py:132-145)
+# ---------------------------------------------------------------------------
+
+
+def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
+            rng=None):
+    """batch keys: images (B,3,R,R), input_ids (B,L), text_mask (B,L),
+    labels (B,T) for generative / class_labels (B,) for head variants."""
+    images = batch.get("images")
+    if cfg.use_prediction_head and cfg.use_ban:
+        return ban_loss(params, cfg, images, batch["input_ids"],
+                        batch["text_mask"], batch["class_labels"], rng)
+    if cfg.use_prediction_head:
+        return head_loss(params, cfg, images, batch["input_ids"],
+                         batch["text_mask"], batch["class_labels"], rng)
+    return generative_loss(params, cfg, images, batch["input_ids"],
+                           batch["text_mask"], batch["labels"])
+
+
+def predict_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
+               max_new_tokens: int = 20):
+    """Generated token ids (generative) or class ids (head variants)."""
+    images = batch.get("images")
+    if cfg.use_prediction_head and cfg.use_ban:
+        return ban_predict(params, cfg, images, batch["input_ids"],
+                           batch["text_mask"])
+    if cfg.use_prediction_head:
+        return head_predict(params, cfg, images, batch["input_ids"],
+                            batch["text_mask"])
+    return generative_predict(params, cfg, images,
+                              batch["input_ids"], batch["text_mask"],
+                              max_new_tokens)

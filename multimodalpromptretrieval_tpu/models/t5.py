@@ -1,0 +1,443 @@
+"""From-scratch JAX T5 encoder-decoder with HF-parity numerics.
+
+Re-implements the parts of ``transformers.T5ForConditionalGeneration`` that
+the reference model uses (architectures/T5VisionModel.py:59,200,233):
+
+  * encoder over ``inputs_embeds`` (image-prefix + token embeddings),
+  * teacher-forced decoder + CE loss with -100 label masking,
+  * greedy ``generate(max_new_tokens=N)`` as a single ``lax.while_loop``
+    with a preallocated KV cache (one jit for prefill + decode).
+
+Numerical semantics matched against HF (tests/test_t5_parity.py runs both
+on shared random weights):
+
+  * RMS norm with fp32 reduction (T5LayerNorm);
+  * **unscaled** attention logits (the 1/sqrt(d) is folded into T5's weights);
+  * relative position bias (32 buckets, max distance 128), bidirectional in
+    the encoder, unidirectional in the decoder, **no bias on cross-attention**;
+  * decoder self-attention uses a causal mask only — HF builds an all-ones
+    padding mask when none is passed, and the reference never passes one;
+  * tied LM head with the ``d_model ** -0.5`` output scaling;
+  * greedy decode starts from ``decoder_start_token_id`` (= pad = 0), stops
+    per-sequence at EOS (= 1) and pads the remainder with pad tokens.
+
+Layers are stored stacked on a leading axis and executed with ``lax.scan``
+— one compiled block regardless of depth, TPU-friendly compile times.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
+from multimodalpromptretrieval_tpu.ops.layers import dense, gelu_new, rms_norm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 6
+    num_decoder_layers: int = 6
+    num_heads: int = 8
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"  # "relu" | "gated-gelu"
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+    dropout_rate: float = 0.1
+    # TPU execution knobs (not part of HF parity):
+    attention_impl: str = "xla"  # "xla" | "pallas" | "auto"
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.d_kv
+
+    @staticmethod
+    def t5_small() -> "T5Config":
+        return T5Config()
+
+    @staticmethod
+    def t5_base() -> "T5Config":
+        return T5Config(d_model=768, d_ff=3072, num_layers=12,
+                        num_decoder_layers=12, num_heads=12)
+
+    @staticmethod
+    def t5_large() -> "T5Config":
+        return T5Config(d_model=1024, d_ff=4096, num_layers=24,
+                        num_decoder_layers=24, num_heads=16)
+
+    @staticmethod
+    def from_version(version: str) -> "T5Config":
+        """Map the reference's ``T5_version`` config key to a config."""
+        if "large" in version:
+            return T5Config.t5_large()
+        if "base" in version:
+            return T5Config.t5_base()
+        return T5Config.t5_small()
+
+    @staticmethod
+    def tiny(vocab_size: int = 128) -> "T5Config":
+        """Small config for unit tests."""
+        return T5Config(vocab_size=vocab_size, d_model=32, d_kv=8, d_ff=64,
+                        num_layers=2, num_decoder_layers=2, num_heads=4)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _init_attn(key, cfg: T5Config, d_model: int) -> Params:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    # T5's "factor" init: q scaled by (d_model * d_kv) ** -0.5 etc.
+    def n(k, shape, std):
+        return (jax.random.normal(k, shape, jnp.float32) * std)
+
+    return {
+        "q": n(kq, (d_model, cfg.inner_dim), (d_model * cfg.d_kv) ** -0.5),
+        "k": n(kk, (d_model, cfg.inner_dim), d_model**-0.5),
+        "v": n(kv, (d_model, cfg.inner_dim), d_model**-0.5),
+        "o": n(ko, (cfg.inner_dim, d_model), cfg.inner_dim**-0.5),
+    }
+
+
+def _init_ff(key, cfg: T5Config) -> Params:
+    k0, k1, k2 = jax.random.split(key, 3)
+    std_in = cfg.d_model**-0.5
+    std_out = cfg.d_ff**-0.5
+    if cfg.feed_forward_proj == "gated-gelu":
+        return {
+            "wi_0": jax.random.normal(k0, (cfg.d_model, cfg.d_ff)) * std_in,
+            "wi_1": jax.random.normal(k1, (cfg.d_model, cfg.d_ff)) * std_in,
+            "wo": jax.random.normal(k2, (cfg.d_ff, cfg.d_model)) * std_out,
+        }
+    return {
+        "wi": jax.random.normal(k0, (cfg.d_model, cfg.d_ff)) * std_in,
+        "wo": jax.random.normal(k2, (cfg.d_ff, cfg.d_model)) * std_out,
+    }
+
+
+def init_t5(key, cfg: T5Config) -> Params:
+    """Random init (T5 'factor' scheme). Converters overwrite this layout."""
+    keys = jax.random.split(key, 8)
+
+    def stack(fn, n, key):
+        ks = jax.random.split(key, n)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(k) for k in ks])
+
+    def enc_layer(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "attn": _init_attn(k1, cfg, cfg.d_model),
+            "attn_ln": jnp.ones((cfg.d_model,)),
+            "ff": _init_ff(k2, cfg),
+            "ff_ln": jnp.ones((cfg.d_model,)),
+        }
+
+    def dec_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "self_attn": _init_attn(k1, cfg, cfg.d_model),
+            "self_ln": jnp.ones((cfg.d_model,)),
+            "cross_attn": _init_attn(k2, cfg, cfg.d_model),
+            "cross_ln": jnp.ones((cfg.d_model,)),
+            "ff": _init_ff(k3, cfg),
+            "ff_ln": jnp.ones((cfg.d_model,)),
+        }
+
+    return {
+        "shared": jax.random.normal(keys[0], (cfg.vocab_size, cfg.d_model)) * 1.0,
+        "encoder": {
+            "block": stack(enc_layer, cfg.num_layers, keys[1]),
+            "rel_bias": jax.random.normal(
+                keys[2], (cfg.relative_attention_num_buckets, cfg.num_heads)
+            ) * (cfg.inner_dim**-0.5),
+            "final_ln": jnp.ones((cfg.d_model,)),
+        },
+        "decoder": {
+            "block": stack(dec_layer, cfg.num_decoder_layers, keys[3]),
+            "rel_bias": jax.random.normal(
+                keys[4], (cfg.relative_attention_num_buckets, cfg.num_heads)
+            ) * (cfg.inner_dim**-0.5),
+            "final_ln": jnp.ones((cfg.d_model,)),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Relative position bias
+# ---------------------------------------------------------------------------
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray, *, bidirectional: bool,
+    num_buckets: int, max_distance: int,
+) -> jnp.ndarray:
+    """HF T5's bucketing, in int32. relative_position = key_pos - query_pos."""
+    rel = relative_position
+    bucket = jnp.zeros_like(rel)
+    if bidirectional:
+        num_buckets //= 2
+        bucket = bucket + (rel > 0).astype(jnp.int32) * num_buckets
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_f = jnp.maximum(rel.astype(jnp.float32), 1.0)
+    large = max_exact + (
+        jnp.log(rel_f / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, num_buckets - 1)
+    return bucket + jnp.where(is_small, rel, large)
+
+
+def compute_position_bias(
+    rel_bias_table: jnp.ndarray, q_len: int, k_len: int, *,
+    bidirectional: bool, cfg: T5Config,
+) -> jnp.ndarray:
+    """Returns (1, H, q_len, k_len) additive bias."""
+    ctx = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0)
+    mem = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
+    buckets = relative_position_bucket(
+        mem - ctx, bidirectional=bidirectional,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    )
+    bias = rel_bias_table[buckets]  # (q, k, H)
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _attention_block(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask, causal):
+    B, Lq, _ = x_q.shape
+    Lk = x_kv.shape[1]
+    H, Dk = cfg.num_heads, cfg.d_kv
+
+    def split_heads(y, L):
+        return jnp.transpose(y.reshape(B, L, H, Dk), (0, 2, 1, 3))
+
+    q = split_heads(dense(x_q, p["q"]), Lq)
+    k = split_heads(dense(x_kv, p["k"]), Lk)
+    v = split_heads(dense(x_kv, p["v"]), Lk)
+    o = multi_head_attention(
+        q, k, v, bias=bias, kv_mask=kv_mask, causal=causal,
+        scale=1.0, impl=cfg.attention_impl,
+    )
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, Lq, H * Dk)
+    return dense(o, p["o"])
+
+
+def _ff_block(p: Params, cfg: T5Config, x):
+    if cfg.feed_forward_proj == "gated-gelu":
+        h = gelu_new(dense(x, p["wi_0"])) * dense(x, p["wi_1"])
+    else:
+        h = jax.nn.relu(dense(x, p["wi"]))
+    return dense(h, p["wo"])
+
+
+def t5_encode(
+    params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Encoder stack over raw input embeddings. attention_mask: (B, L) in {0,1}."""
+    enc = params["encoder"]
+    L = inputs_embeds.shape[1]
+    bias = compute_position_bias(enc["rel_bias"], L, L, bidirectional=True, cfg=cfg)
+    kv_mask = None if attention_mask is None else attention_mask.astype(bool)
+
+    def layer(x, p):
+        h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
+        x = x + _attention_block(p["attn"], cfg, h, h, bias=bias,
+                                 kv_mask=kv_mask, causal=False)
+        h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+        x = x + _ff_block(p["ff"], cfg, h)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, inputs_embeds, enc["block"])
+    return rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+
+
+def t5_decode_train(
+    params: Params, cfg: T5Config, encoder_hidden: jnp.ndarray,
+    encoder_mask: Optional[jnp.ndarray], decoder_input_ids: jnp.ndarray,
+) -> jnp.ndarray:
+    """Teacher-forced decoder. Returns LM logits (B, T, V) in fp32.
+
+    Decoder self-attention is causal with no padding mask (HF default when
+    the caller does not pass decoder_attention_mask — the reference never
+    does, architectures/T5VisionModel.py:233).
+    """
+    dec = params["decoder"]
+    T = decoder_input_ids.shape[1]
+    x = params["shared"][decoder_input_ids]
+    bias = compute_position_bias(dec["rel_bias"], T, T, bidirectional=False, cfg=cfg)
+    enc_kv_mask = None if encoder_mask is None else encoder_mask.astype(bool)
+
+    def layer(x, p):
+        h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
+        x = x + _attention_block(p["self_attn"], cfg, h, h, bias=bias,
+                                 kv_mask=None, causal=True)
+        h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+        x = x + _attention_block(p["cross_attn"], cfg, h, encoder_hidden,
+                                 bias=None, kv_mask=enc_kv_mask, causal=False)
+        h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+        x = x + _ff_block(p["ff"], cfg, h)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, dec["block"])
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+    x = x * (cfg.d_model**-0.5)  # tied-embedding output scaling
+    logits = jnp.dot(x, params["shared"].T.astype(x.dtype))
+    return logits.astype(jnp.float32)
+
+
+def shift_right(labels: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
+    """HF _shift_right: prepend decoder_start, drop last, -100 -> pad."""
+    shifted = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), cfg.decoder_start_token_id, labels.dtype),
+         labels[:, :-1]], axis=1)
+    return jnp.where(shifted == -100, cfg.pad_token_id, shifted)
+
+
+def t5_loss(
+    params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray], labels: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cross-entropy with -100 ignore, mean over valid tokens (HF parity)."""
+    enc = t5_encode(params, cfg, inputs_embeds, attention_mask)
+    logits = t5_decode_train(params, cfg, enc, attention_mask,
+                             shift_right(labels, cfg))
+    valid = labels != -100
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return -jnp.sum(token_ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode: one jit for the whole while_loop with preallocated KV cache
+# ---------------------------------------------------------------------------
+
+
+def _precompute_cross_kv(params, cfg, encoder_hidden):
+    """Cross-attention K/V depend only on encoder output: compute once."""
+    B, Lk, _ = encoder_hidden.shape
+    H, Dk = cfg.num_heads, cfg.d_kv
+
+    def per_layer(p):
+        k = dense(encoder_hidden, p["cross_attn"]["k"])
+        v = dense(encoder_hidden, p["cross_attn"]["v"])
+        split = lambda y: jnp.transpose(y.reshape(B, Lk, H, Dk), (0, 2, 1, 3))  # noqa: E731
+        return split(k), split(v)
+
+    return jax.vmap(per_layer)(params["decoder"]["block"])
+
+
+def t5_greedy_decode(
+    params: Params, cfg: T5Config, encoder_hidden: jnp.ndarray,
+    encoder_mask: Optional[jnp.ndarray], max_new_tokens: int = 20,
+) -> jnp.ndarray:
+    """Greedy generation. Returns (B, 1 + max_new_tokens) int32 sequences
+    beginning with decoder_start_token_id; positions after EOS are pad.
+
+    Matches HF ``generate(inputs_embeds=..., do_sample=False,
+    max_new_tokens=N)`` (architectures/T5VisionModel.py:200-205).
+    """
+    dec = params["decoder"]
+    B = encoder_hidden.shape[0]
+    H, Dk, Lyrs = cfg.num_heads, cfg.d_kv, cfg.num_decoder_layers
+    T = max_new_tokens
+
+    cross_k, cross_v = _precompute_cross_kv(params, cfg, encoder_hidden)
+    enc_kv_mask = None if encoder_mask is None else encoder_mask.astype(bool)
+    # Full causal decoder position bias, sliced per step: (1, H, T, T).
+    full_bias = compute_position_bias(dec["rel_bias"], T, T,
+                                      bidirectional=False, cfg=cfg)
+
+    self_k = jnp.zeros((Lyrs, B, H, T, Dk), encoder_hidden.dtype)
+    self_v = jnp.zeros_like(self_k)
+    tokens = jnp.full((B, T + 1), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((B,), bool)
+
+    def step_fn(state):
+        t, tokens, self_k, self_v, finished = state
+        cur = tokens[jnp.arange(B), t]  # current input token (B,)
+        x = params["shared"][cur][:, None, :]  # (B, 1, D)
+
+        step_pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        kv_valid = step_pos[0] <= t  # keys 0..t are populated
+
+        def layer(carry, inp):
+            x = carry
+            p, sk, sv, bias_row, ck, cv = inp
+            h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
+            q = jnp.transpose(
+                dense(h, p["self_attn"]["q"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
+            k_new = jnp.transpose(
+                dense(h, p["self_attn"]["k"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
+            v_new = jnp.transpose(
+                dense(h, p["self_attn"]["v"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
+            sk = jax.lax.dynamic_update_slice(sk, k_new, (0, 0, t, 0))
+            sv = jax.lax.dynamic_update_slice(sv, v_new, (0, 0, t, 0))
+            o = multi_head_attention(
+                q, sk, sv, bias=bias_row,
+                kv_mask=jnp.broadcast_to(kv_valid[None], (B, T)),
+                causal=False, scale=1.0, impl="xla")
+            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
+            x = x + dense(o, p["self_attn"]["o"])
+
+            h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+            q = jnp.transpose(
+                dense(h, p["cross_attn"]["q"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
+            o = multi_head_attention(q, ck, cv, bias=None, kv_mask=enc_kv_mask,
+                                     causal=False, scale=1.0, impl="xla")
+            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
+            x = x + dense(o, p["cross_attn"]["o"])
+
+            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+            x = x + _ff_block(p["ff"], cfg, h)
+            return x, (sk, sv)
+
+        bias_row = jax.lax.dynamic_slice(
+            full_bias, (0, 0, t, 0), (1, H, 1, T))  # (1, H, 1, T)
+        bias_rows = jnp.broadcast_to(bias_row[None], (Lyrs, 1, H, 1, T))
+
+        x, (self_k, self_v) = jax.lax.scan(
+            layer, x,
+            (dec["block"], self_k, self_v, bias_rows, cross_k, cross_v),
+        )
+        x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+        x = x * (cfg.d_model**-0.5)
+        logits = jnp.dot(x[:, 0], params["shared"].T.astype(x.dtype))
+        next_tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, cfg.pad_token_id, next_tok)
+        finished = jnp.logical_or(finished, next_tok == cfg.eos_token_id)
+        tokens = tokens.at[:, t + 1].set(next_tok)
+        return t + 1, tokens, self_k, self_v, finished
+
+    def cond_fn(state):
+        t, _, _, _, finished = state
+        return jnp.logical_and(t < T, ~jnp.all(finished))
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (jnp.int32(0), tokens, self_k, self_v, finished))
+    return tokens

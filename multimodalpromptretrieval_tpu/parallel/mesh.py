@@ -1,0 +1,112 @@
+"""Mesh construction and pjit-sharded train / eval / predict steps.
+
+Strategy (SURVEY.md §2c): **data parallelism over the ICI mesh is the
+first-class strategy** at t5-small / ViT-B scale — params replicated, batch
+sharded on the leading axis; XLA turns the grad reduction into a psum over
+ICI. The mesh is built 2-D ("data", "model") with model=1 so tensor-parallel
+shardings can slot in later without changing call sites.
+
+Everything compiles once per (variant, shape-bucket): the driver buckets
+text lengths (data/batching.py) so jit never retraces in the hot loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.train.optim import adamw_update
+
+
+def get_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
+    """("data", "model") mesh over the first n_data*n_model devices."""
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    import numpy as np
+
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate the param pytree across the mesh (DP)."""
+    return jax.device_put(params, replicated(mesh))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Shard every batch array over the "data" axis of the mesh."""
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def make_train_step(cfg: mprgen.MPRGenConfig, trainable=None, *,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """loss+grad+AdamW in one jit.
+
+    fn(params, opt_state, batch, lr, rng) -> (params, opt_state, loss).
+    With a mesh, params/opt_state are replicated and the batch is sharded on
+    "data"; XLA inserts the psum for the grads.
+    """
+
+    def step(params, opt_state, batch, lr, rng):
+        loss, grads = jax.value_and_grad(mprgen.loss_fn)(
+            params, cfg, batch, rng)
+        params, opt_state = adamw_update(
+            params, grads, opt_state, lr, trainable=trainable)
+        return params, opt_state, loss
+
+    kwargs: Dict[str, Any] = {"static_argnums": ()}
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data, rep, rep)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_loss_step(cfg: mprgen.MPRGenConfig, *,
+                        mesh: Optional[Mesh] = None):
+    """fn(params, batch) -> summed loss * batch_size contribution.
+
+    Returns the mean loss over the batch (reference
+    utils.get_validation_loss averages per-batch means weighted by batch
+    size, utils.py:78-87)."""
+
+    def step(params, batch):
+        return mprgen.loss_fn(params, cfg, batch)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = replicated(mesh)
+    return jax.jit(step, **kwargs)
+
+
+def make_predict_step(cfg: mprgen.MPRGenConfig, *, max_new_tokens: int = 20,
+                      mesh: Optional[Mesh] = None):
+    """fn(params, batch) -> generated token ids / class ids, batch-sharded."""
+
+    def step(params, batch):
+        return mprgen.predict_fn(params, cfg, batch, max_new_tokens)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = batch_sharding(mesh)
+    return jax.jit(step, **kwargs)

@@ -1,0 +1,382 @@
+"""SentencePiece unigram tokenizer: protobuf loader + Viterbi encoder.
+
+The reference tokenizes with HF ``T5Tokenizer`` (sentencepiece C++ under the
+hood, architectures/T5VisionModel.py:57,161-167,223-225). This module
+re-implements the unigram-LM encoding path natively:
+
+  * a minimal wire-format parser for the ``ModelProto`` protobuf (we only
+    need the ``pieces`` field: piece string, score, type);
+  * Viterbi segmentation over a piece trie (optionally accelerated by the
+    C++ encoder in multimodalpromptretrieval_tpu/native);
+  * T5 conventions: NFKC-ish normalization, whitespace collapsing, the ▁
+    escape + dummy prefix, byte/char unk fallback, EOS append, 100
+    ``<extra_id_N>`` sentinels, user-added tokens (the reference adds
+    "[itk]", T5VisionModel.py:58).
+
+Caveat (documented, not hidden): full sentencepiece parity additionally
+applies a precompiled normalization charsmap; we approximate it with
+``unicodedata.normalize("NFKC")``, which is an exact match for the ASCII
+questions in SLAKE/VQA-RAD (all lowercased by the data layer).
+"""
+
+from __future__ import annotations
+
+import struct
+import unicodedata
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+_SPACE = "▁"  # ▁
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire parsing (ModelProto.pieces only)
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _parse_fields(buf: bytes):
+    """Yields (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        fieldno, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:  # 64-bit
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:  # 32-bit
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield fieldno, wire, val
+
+
+# SentencePiece piece types (sentencepiece_model.proto)
+PIECE_NORMAL = 1
+PIECE_UNKNOWN = 2
+PIECE_CONTROL = 3
+PIECE_USER_DEFINED = 4
+PIECE_BYTE = 6
+PIECE_UNUSED = 5
+
+
+@dataclass
+class UnigramVocab:
+    """pieces[i] = (surface, log-prob score, piece type)."""
+
+    pieces: List[Tuple[str, float, int]]
+    _trie: Dict[str, dict] = field(default_factory=dict, repr=False)
+    _piece_to_id: Dict[str, int] = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self._piece_to_id = {}
+        for i, (p, _, _) in enumerate(self.pieces):
+            self._piece_to_id.setdefault(p, i)
+        # char trie: node = {char: node, ...; None: piece_id at terminal}
+        self._trie = {}
+        for i, (p, _, t) in enumerate(self.pieces):
+            if t in (PIECE_CONTROL, PIECE_UNKNOWN, PIECE_UNUSED):
+                continue
+            node = self._trie
+            for ch in p:
+                node = node.setdefault(ch, {})
+            node.setdefault(None, i)
+
+    @property
+    def unk_id(self) -> int:
+        for i, (_, _, t) in enumerate(self.pieces):
+            if t == PIECE_UNKNOWN:
+                return i
+        return 2
+
+    def piece_to_id(self, piece: str) -> Optional[int]:
+        return self._piece_to_id.get(piece)
+
+    @staticmethod
+    def from_model_proto(data: bytes) -> "UnigramVocab":
+        pieces = []
+        for fieldno, wire, val in _parse_fields(data):
+            if fieldno == 1 and wire == 2:  # repeated SentencePiece
+                piece, score, ptype = "", 0.0, PIECE_NORMAL
+                for f2, w2, v2 in _parse_fields(val):
+                    if f2 == 1:
+                        piece = v2.decode("utf-8")
+                    elif f2 == 2:
+                        score = struct.unpack("<f", v2)[0]
+                    elif f2 == 3:
+                        ptype = v2
+                pieces.append((piece, score, ptype))
+        if not pieces:
+            raise ValueError("no pieces found: not a sentencepiece model?")
+        return UnigramVocab(pieces)
+
+    @staticmethod
+    def from_file(path: str) -> "UnigramVocab":
+        with open(path, "rb") as f:
+            return UnigramVocab.from_model_proto(f.read())
+
+    @staticmethod
+    def build_toy(
+        corpus: Iterable[str],
+        max_words: int = 4000,
+        specials: Sequence[str] = ("<pad>", "</s>", "<unk>"),
+    ) -> "UnigramVocab":
+        """Hermetic test/synthetic-data vocab: specials + corpus words + chars.
+
+        Word pieces carry log-frequency scores so Viterbi prefers whole
+        words; single characters are the fallback (score floor), so any
+        input string is always encodable.
+        """
+        from collections import Counter
+
+        words: Counter = Counter()
+        chars: set = set()
+        for line in corpus:
+            norm = normalize(line)
+            for w in norm.split(_SPACE):
+                if w:
+                    words[_SPACE + w] += 1
+            chars.update(norm)
+        total = sum(words.values()) or 1
+        pieces: List[Tuple[str, float, int]] = []
+        for i, s in enumerate(specials):
+            t = PIECE_UNKNOWN if s == "<unk>" else PIECE_CONTROL
+            pieces.append((s, 0.0, t))
+        import math
+
+        for w, c in words.most_common(max_words):
+            pieces.append((w, math.log(c / total), PIECE_NORMAL))
+        seen = {p for p, _, _ in pieces}
+        import string
+
+        fallback_chars = chars | {_SPACE} | set(
+            string.ascii_lowercase + string.digits + string.punctuation)
+        for ch in sorted(fallback_chars):
+            if ch not in seen:
+                pieces.append((ch, -12.0, PIECE_NORMAL))
+        return UnigramVocab(pieces)
+
+
+def normalize(text: str) -> str:
+    """T5 spm normalization: NFKC, collapse whitespace, ▁-escape, dummy prefix."""
+    text = unicodedata.normalize("NFKC", text)
+    text = " ".join(text.split())  # remove_extra_whitespaces
+    text = text.replace(" ", _SPACE)
+    if not text.startswith(_SPACE):
+        text = _SPACE + text  # add_dummy_prefix
+    return text
+
+
+def viterbi_encode(vocab: UnigramVocab, normalized: str,
+                   unk_penalty: float = 10.0) -> List[int]:
+    """Best unigram segmentation (max sum of piece scores)."""
+    n = len(normalized)
+    if n == 0:
+        return []
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back: List[Tuple[int, int]] = [(-1, -1)] * (n + 1)
+    best[0] = 0.0
+    min_score = min(s for _, s, t in vocab.pieces if t == PIECE_NORMAL) \
+        if any(t == PIECE_NORMAL for _, _, t in vocab.pieces) else -10.0
+    unk_score = min_score - unk_penalty
+    unk_id = vocab.unk_id
+    trie = vocab._trie
+    pieces = vocab.pieces
+    for i in range(n):
+        if best[i] == NEG:
+            continue
+        node = trie
+        j = i
+        while j < n:
+            node = node.get(normalized[j])
+            if node is None:
+                break
+            j += 1
+            pid = node.get(None)
+            if pid is not None:
+                sc = best[i] + pieces[pid][1]
+                if sc > best[j]:
+                    best[j] = sc
+                    back[j] = (i, pid)
+        # unk fallback: single char
+        sc = best[i] + unk_score
+        if sc > best[i + 1]:
+            best[i + 1] = sc
+            back[i + 1] = (i, unk_id)
+    # backtrack
+    out: List[int] = []
+    j = n
+    while j > 0:
+        i, pid = back[j]
+        out.append(pid)
+        j = i
+    out.reverse()
+    return out
+
+
+class T5SentencePieceTokenizer:
+    """HF T5Tokenizer semantics over a UnigramVocab.
+
+    ids: pad=0, eos=1, unk=2 for real T5 models (positions taken from the
+    vocab's control pieces); ``extra_ids`` sentinels occupy the tail like HF;
+    ``add_tokens`` appends new ids (the reference adds "[itk]",
+    T5VisionModel.py:58-61).
+    """
+
+    def __init__(self, vocab: UnigramVocab, extra_ids: int = 0):
+        self.vocab = vocab
+        self.base_size = len(vocab.pieces)
+        self.extra_ids = extra_ids
+        self.added: Dict[str, int] = {}
+        for i in range(extra_ids):
+            # HF maps <extra_id_0> to the LAST id (base+extra-1), counting down
+            self.added[f"<extra_id_{i}>"] = self.base_size + extra_ids - 1 - i
+        self._added_rev = {v: k for k, v in self.added.items()}
+        self.pad_id = self._control_id("<pad>", 0)
+        self.eos_id = self._control_id("</s>", 1)
+        self.unk_id = vocab.unk_id
+
+    def _control_id(self, piece: str, default: int) -> int:
+        pid = self.vocab.piece_to_id(piece)
+        return default if pid is None else pid
+
+    # -- vocabulary management ------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.base_size + self.extra_ids + \
+            len([t for t, i in self.added.items()
+                 if i >= self.base_size + self.extra_ids])
+
+    def add_tokens(self, tokens: Sequence[str]) -> int:
+        added = 0
+        for t in tokens:
+            if t not in self.added and self.vocab.piece_to_id(t) is None:
+                new_id = len(self)
+                self.added[t] = new_id
+                self._added_rev[new_id] = t
+                added += 1
+        return added
+
+    def convert_tokens_to_ids(self, token: str) -> int:
+        if token in self.added:
+            return self.added[token]
+        pid = self.vocab.piece_to_id(token)
+        return self.unk_id if pid is None else pid
+
+    @staticmethod
+    def from_spiece_model(path: str, extra_ids: int = 100
+                          ) -> "T5SentencePieceTokenizer":
+        return T5SentencePieceTokenizer(UnigramVocab.from_file(path),
+                                        extra_ids=extra_ids)
+
+    @staticmethod
+    def from_corpus(corpus: Iterable[str], extra_ids: int = 0,
+                    max_words: int = 4000) -> "T5SentencePieceTokenizer":
+        return T5SentencePieceTokenizer(
+            UnigramVocab.build_toy(corpus, max_words=max_words),
+            extra_ids=extra_ids)
+
+    # -- encode / decode ------------------------------------------------------
+
+    def encode(self, text: str, add_eos: bool = True,
+               max_length: Optional[int] = None) -> List[int]:
+        """Tokenize one string. Added tokens split the text first (HF
+        semantics for added tokens), the rest goes through Viterbi."""
+        ids: List[int] = []
+        for chunk, tok_id in self._split_added(text):
+            if tok_id is not None:
+                ids.append(tok_id)
+            else:
+                ids.extend(viterbi_encode(self.vocab, normalize(chunk)))
+        if add_eos:
+            ids.append(self.eos_id)
+        if max_length is not None and len(ids) > max_length:
+            # HF truncation keeps the first max_length tokens (the trailing
+            # EOS is truncated away, matching tokenizer(..., truncation=True))
+            ids = ids[:max_length]
+        return ids
+
+    def _split_added(self, text: str):
+        if not self.added:
+            yield text, None
+            return
+        # longest-first added-token split
+        toks = sorted(self.added, key=len, reverse=True)
+        rest = text
+        while rest:
+            hit, pos = None, len(rest)
+            for t in toks:
+                p = rest.find(t)
+                if p != -1 and p < pos:
+                    hit, pos = t, p
+            if hit is None:
+                yield rest, None
+                return
+            if pos:
+                yield rest[:pos], None
+            yield hit, self.added[hit]
+            rest = rest[pos + len(hit):]
+
+    def batch_encode(self, texts: Sequence[str], max_length: int,
+                     pad_to: Optional[int] = None):
+        """Returns (ids, mask) as int32 numpy arrays.
+
+        ``pad_to=None`` pads to the batch longest (HF padding="longest");
+        a fixed ``pad_to`` gives XLA static shapes (bucketed batching).
+        """
+        import numpy as np
+
+        encoded = [self.encode(t, max_length=max_length) for t in texts]
+        width = pad_to if pad_to is not None else max(
+            (len(e) for e in encoded), default=1)
+        ids = np.full((len(texts), width), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), width), np.int32)
+        for i, e in enumerate(encoded):
+            e = e[:width]
+            ids[i, :len(e)] = e
+            mask[i, :len(e)] = 1
+        return ids, mask
+
+    def decode(self, ids: Iterable[int], skip_special_tokens: bool = True
+               ) -> str:
+        parts: List[str] = []
+        for i in ids:
+            i = int(i)
+            if i in self._added_rev:
+                tok = self._added_rev[i]
+                if skip_special_tokens and tok.startswith("<extra_id_"):
+                    continue
+                parts.append(tok)
+                continue
+            if i >= self.base_size:
+                continue
+            piece, _, ptype = self.vocab.pieces[i]
+            if skip_special_tokens and ptype in (PIECE_CONTROL, PIECE_UNKNOWN):
+                continue
+            parts.append(piece)
+        text = "".join(parts).replace(_SPACE, " ")
+        return text.strip()
+
+    def batch_decode(self, batch_ids, skip_special_tokens: bool = True
+                     ) -> List[str]:
+        return [self.decode(row, skip_special_tokens) for row in batch_ids]

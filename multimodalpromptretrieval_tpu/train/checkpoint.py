@@ -1,0 +1,81 @@
+"""Pytree checkpointing keyed by the reference's config-derived prefix.
+
+The reference saves ``{'model_state_dict', 'optimizer_state_dict'}`` to
+``models/<prefix>.pt`` on every new best validation loss (main.py:199-206).
+Here the params + optimizer pytrees are flattened to path-keyed arrays in a
+single ``.npz`` (portable, no torch/pickle needed to read back), with a
+sidecar JSON for scalars/metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_into(template, flat, prefix=""):
+    if isinstance(template, dict):
+        return {k: _unflatten_into(template[k], flat, f"{prefix}{k}/")
+                for k in template}
+    if isinstance(template, (list, tuple)):
+        seq = [_unflatten_into(v, flat, f"{prefix}{i}/")
+               for i, v in enumerate(template)]
+        return type(template)(seq)
+    return flat[prefix[:-1]]
+
+
+def save_checkpoint(path: str, params, opt_state=None,
+                    metadata: Optional[Dict[str, Any]] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        arrays.update({f"opt/{k}": v
+                       for k, v in _flatten(opt_state).items()})
+    np.savez(path, **arrays)
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=2)
+
+
+def load_checkpoint(path: str, params_template,
+                    opt_template=None) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Returns (params, opt_state-or-None, metadata)."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    import jax.numpy as jnp
+
+    pflat = {k[len("params/"):]: v for k, v in flat.items()
+             if k.startswith("params/")}
+    # device arrays, not numpy: loaded params feed jitted fns (a numpy leaf
+    # indexed by a tracer raises TracerArrayConversionError)
+    params = jax.tree.map(jnp.asarray,
+                          _unflatten_into(params_template, pflat))
+    opt_state = None
+    if opt_template is not None:
+        oflat = {k[len("opt/"):]: v for k, v in flat.items()
+                 if k.startswith("opt/")}
+        if oflat:
+            opt_state = jax.tree.map(jnp.asarray,
+                                     _unflatten_into(opt_template, oflat))
+    metadata: Dict[str, Any] = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            metadata = json.load(f)
+    return params, opt_state, metadata

@@ -1,0 +1,547 @@
+"""Experiment driver: config → datasets → retrieval → model → train/test.
+
+The TPU-native counterpart of the reference's ``main.py`` script, behind the
+same JSON config schema (config/experiment.json, README.md:40-61) and the
+same CLI verbs (bin ``main.py`` at the repo root). Differences are
+TPU-architectural, not behavioral:
+
+  * all device compute (CLIP, T5, retrieval k-NN, AdamW) lives in a handful
+    of jitted steps over fixed shape buckets — no per-batch recompiles;
+  * retrieval hints for a frozen CLIP + frozen corpus are precomputed per
+    phase instead of re-embedding every batch inside the hot loop
+    (main.py:178-179 re-runs CLIP twice per training batch; outputs are
+    identical because the inputs are deterministic);
+  * greedy generate in the train loop — the reference runs it on EVERY
+    training batch and uses the result only for pred-head accuracy
+    (main.py:179, quirk #5) — is gated on use_prediction_head (config key
+    ``exact_train_predict`` restores the reference behavior);
+  * data parallelism over the device mesh comes free through
+    parallel/mesh.py shardings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.data.batching import Batch, make_batches
+from multimodalpromptretrieval_tpu.data.datasets import (
+    VQADataset,
+    create_ans2label,
+    load_dataset,
+)
+from multimodalpromptretrieval_tpu.data.images import ImageCache
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.models.clip import (
+    CLIPConfig,
+    clip_encode_image,
+    clip_encode_text,
+)
+from multimodalpromptretrieval_tpu.models.t5 import T5Config
+from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+from multimodalpromptretrieval_tpu.retrieval.index import RetrievalIndex
+from multimodalpromptretrieval_tpu.text import (
+    CLIPBPETokenizer,
+    T5SentencePieceTokenizer,
+)
+from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
+from multimodalpromptretrieval_tpu.train.metrics import TestMetrics
+from multimodalpromptretrieval_tpu.train.optim import (
+    ReduceLROnPlateau,
+    adamw_init,
+)
+from multimodalpromptretrieval_tpu.utils import get_model_prefix
+
+
+class Experiment:
+    def __init__(self, cfg: Dict[str, Any], *, train_mode: bool,
+                 model_file: Optional[str] = None,
+                 mesh=None, log_root: str = "logs",
+                 model_root: str = "models", quiet: bool = False):
+        self.cfg = cfg
+        self.quiet = quiet
+        self.log_root = log_root
+        self.model_root = model_root
+        self.mesh = mesh if mesh is not None else pmesh.get_mesh()
+        self.rng = jax.random.PRNGKey(cfg.get("seed", 88))
+        random.seed(cfg.get("seed", 88))
+        np.random.seed(cfg.get("seed", 88))
+
+        self.model_prefix = (model_file[:-4] if model_file
+                             else get_model_prefix(cfg))
+        self.model_path = (model_file if model_file else os.path.join(
+            model_root, self.model_prefix + ".npz"))
+
+        data_name = cfg["dataset"]
+        # transfer evaluation swaps the dataset when not training (main.py:67-69)
+        if "transfer_dataset" in cfg and not train_mode:
+            data_name = cfg["transfer_dataset"]
+        self.data_name = data_name
+
+        folder = cfg["datafolder"]
+        self.dataset_train = load_dataset(folder, data_name, "train")
+        if "train_subset" in cfg:
+            split = self.dataset_train.get_stratified_split(
+                split_fraction=cfg["train_subset"])
+            self.dataset_train.entries = [
+                self.dataset_train.entries[x] for x in split]
+        self.dataset_validate = load_dataset(folder, data_name, "validate")
+        self.dataset_test = load_dataset(folder, data_name, "test")
+
+        if cfg.get("max_answers"):
+            answer_set = self.dataset_train.filter_max_answers(
+                cfg["max_answers"])
+            self.dataset_validate.filter_max_answers(
+                cfg["max_answers"], set(answer_set))
+            self.dataset_test.filter_max_answers(
+                cfg["max_answers"], set(answer_set))
+
+        self.label2ans, self.ans2label = create_ans2label(
+            self.dataset_train, self.dataset_validate, self.dataset_test)
+        for ds in (self.dataset_train, self.dataset_validate,
+                   self.dataset_test):
+            ds.add_labels(self.ans2label)
+
+        # -- tokenizers ------------------------------------------------------
+        spiece = cfg.get("spiece_model")
+        if spiece and os.path.exists(spiece):
+            self.tokenizer = T5SentencePieceTokenizer.from_spiece_model(spiece)
+        else:
+            corpus = [e["question"] for e in self.dataset_train.entries]
+            corpus += [e["answer"] for e in self.dataset_train.entries]
+            corpus += [e["answer"] for e in self.dataset_validate.entries]
+            corpus += [e["answer"] for e in self.dataset_test.entries]
+            corpus += [f"Answer the {t} question: " for t in sorted(
+                {e["task"] for e in self.dataset_train.entries})]
+            corpus += ["I believe the answer is", "The most frequent answer",
+                       "very unlikely unlikely maybe likely very likely "
+                       "certainly"]
+            self.tokenizer = T5SentencePieceTokenizer.from_corpus(corpus)
+        # the reference adds one "[itk]" token (T5VisionModel.py:58-61)
+        self.tokenizer.add_tokens(["[itk]"])
+
+        # -- model configs ----------------------------------------------------
+        t5_cfg = T5Config.from_version(cfg.get("T5_version", "t5-small"))
+        t5_cfg = self._override_t5(t5_cfg, cfg)
+        clip_cfg = self._clip_config(cfg)
+
+        merges = cfg.get("clip_bpe")
+        if merges and os.path.exists(merges):
+            self.clip_tokenizer = CLIPBPETokenizer.from_merges_file(
+                merges, context_length=clip_cfg.context_length)
+        else:
+            self.clip_tokenizer = CLIPBPETokenizer.build_toy(
+                context_length=clip_cfg.context_length)
+        num_classes = (cfg["max_answers"]
+                       if cfg.get("max_answers") and not cfg.get("use_BAN")
+                       else len(self.ans2label))
+        self.model_cfg = mprgen.MPRGenConfig(
+            t5=t5_cfg, clip=clip_cfg,
+            use_image_info=bool(cfg["use_image_info"]),
+            use_prediction_head=bool(cfg.get("use_prediction_head")),
+            use_ban=bool(cfg.get("use_BAN")),
+            freeze=bool(cfg.get("freeze")),
+            num_classes=num_classes,
+            max_source_length=cfg.get("max_source_length", 512),
+            max_target_length=cfg.get("max_target_length", 128),
+        )
+
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = mprgen.init_mprgen(init_key, self.model_cfg)
+        self._load_pretrained(cfg)
+        self.trainable = mprgen.trainable_mask(self.params, self.model_cfg)
+        self.opt_state = adamw_init(self.params)
+
+        # -- image caches ------------------------------------------------------
+        self.image_size = clip_cfg.image_resolution
+        self.images = self._build_image_cache()
+
+        # -- retrieval ---------------------------------------------------------
+        self.batch_size = cfg["hyperparameters"]["batch_size"]
+        self.k = cfg.get("k", 15)
+        self.use_quantifier = not ("quantifier" in cfg
+                                   and not cfg["quantifier"])
+        self.retrieval_index: Optional[RetrievalIndex] = None
+        self.retrieval_dataset: Optional[VQADataset] = None
+        self._hints: Dict[str, Dict[str, str]] = {}
+        if cfg.get("retrieval"):
+            self._setup_retrieval(train_mode)
+
+        # -- jitted steps ------------------------------------------------------
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    # ------------------------------------------------------------------------
+
+    @staticmethod
+    def _override_t5(t5_cfg: T5Config, cfg) -> T5Config:
+        """`t5_overrides` lets tests/synthetic runs shrink the model."""
+        o = cfg.get("t5_overrides")
+        if not o:
+            return t5_cfg
+        import dataclasses
+
+        return dataclasses.replace(t5_cfg, **o)
+
+    @staticmethod
+    def _clip_config(cfg) -> CLIPConfig:
+        o = cfg.get("clip_overrides")
+        base = CLIPConfig.vit_b32()
+        if not o:
+            return base
+        import dataclasses
+
+        return dataclasses.replace(base, **o)
+
+    def _load_pretrained(self, cfg) -> None:
+        """Optional converted-weights hooks: paths to torch checkpoints.
+
+        ``t5_checkpoint`` — HF T5 state_dict (.pt / .bin);
+        ``vision_checkpoint`` — PubMedCLIP {'state_dict': ...} layout
+        (T5VisionModel.py:39-42); ``clip_checkpoint`` — OpenAI CLIP.
+        """
+        from multimodalpromptretrieval_tpu.models import convert
+
+        def load_torch(path):
+            import torch
+
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(obj, dict) and "state_dict" in obj:
+                obj = obj["state_dict"]
+            return convert.state_dict_to_numpy(obj)
+
+        if cfg.get("t5_checkpoint") and os.path.exists(cfg["t5_checkpoint"]):
+            sd = load_torch(cfg["t5_checkpoint"])
+            self.params["t5"] = convert.t5_from_hf(sd, self.model_cfg.t5)
+            self.params["t5"] = convert.resize_token_embeddings(
+                self.params["t5"], len(self.tokenizer))
+        path = cfg.get("vision_checkpoint") or cfg.get("clip_checkpoint")
+        if path and os.path.exists(path):
+            sd = load_torch(path)
+            sd = {k[len("visual_encoder."):] if k.startswith("visual_encoder.")
+                  else k: v for k, v in sd.items()}
+            self.params["clip"] = convert.clip_from_openai(
+                sd, self.model_cfg.clip)
+
+    def _build_image_cache(self) -> ImageCache:
+        cache = ImageCache({})
+        for ds, split in ((self.dataset_train, "train"),
+                          (self.dataset_validate, "validate"),
+                          (self.dataset_test, "test")):
+            roots: Dict[str, List[dict]] = {}
+            for e in ds.entries:
+                roots.setdefault(e["dataroot"], []).append(e)
+            for root, entries in roots.items():
+                cache.update(ImageCache.build(root, entries, split,
+                                              size=self.image_size))
+        return cache
+
+    # -- retrieval -------------------------------------------------------------
+
+    def _clip_embed_fn(self):
+        cfg = self.model_cfg.clip
+        params = self.params["clip"]
+
+        @jax.jit
+        def embed(images, text_ids):
+            img = clip_encode_image(params, cfg, images)
+            txt = clip_encode_text(params, cfg, text_ids)
+            return jnp.concatenate([img, txt], axis=1)
+
+        return embed
+
+    def _setup_retrieval(self, train_mode: bool) -> None:
+        cfg = self.cfg
+        if "retrieval_dataset" in cfg:
+            rds = load_dataset(cfg["datafolder"], cfg["retrieval_dataset"],
+                               "train")
+        else:
+            rds = self.dataset_train
+        if "retrieval_subset" in cfg:
+            split = rds.get_stratified_split(
+                split_fraction=cfg["retrieval_subset"])
+            rds.entries = [rds.entries[x] for x in split]
+        self.retrieval_dataset = rds
+
+        # image cache for the retrieval corpus (may be a different dataset)
+        roots: Dict[str, List[dict]] = {}
+        for e in rds.entries:
+            roots.setdefault(e["dataroot"], []).append(e)
+        rcache = ImageCache({})
+        for root, entries in roots.items():
+            rcache.update(ImageCache.build(root, entries, "train",
+                                           size=self.image_size))
+        embed = self._clip_embed_fn()
+        cache_dir = self.cfg.get("retrieval_cache_dir", "cache")
+        cache_path = os.path.join(
+            cache_dir, type(rds).__name__, "index.npz")
+        self.retrieval_index = RetrievalIndex.build(
+            lambda imgs, ids: embed(jnp.asarray(imgs), jnp.asarray(ids)),
+            rds.entries,
+            lambda names: rcache.batch(names),
+            lambda qs: self.clip_tokenizer.tokenize(qs),
+            batch_size=self.batch_size,
+            is_training_phase=train_mode,
+            retrieval_k=self.k,
+            cache_path=cache_path if self.cfg.get("cache_retrieval", True)
+            else None,
+        )
+        if cfg.get("use_additional_retrieval_data"):
+            extra = self.cfg.get(
+                "additional_retrieval_cache",
+                os.path.join("synthetic_data", "cache",
+                             "ROCOFeatureDataset", "index.npz"))
+            if os.path.exists(extra):
+                self.retrieval_index.extend(RetrievalIndex.load(extra))
+
+    def _query_embeddings(self, dataset: VQADataset) -> np.ndarray:
+        """CLIP image⊕text embeddings for every entry of a split, batched."""
+        embed = self._clip_embed_fn()
+        out = []
+        entries = dataset.entries
+        B = self.batch_size
+        for s in range(0, len(entries), B):
+            chunk = entries[s:s + B]
+            pad = B - len(chunk)
+            chunk_p = chunk + [chunk[-1]] * pad
+            imgs = np.stack([self.images[e["image_name"]] for e in chunk_p])
+            ids = self.clip_tokenizer.tokenize(
+                [e["question"] for e in chunk_p])
+            e_ = np.asarray(embed(jnp.asarray(imgs), jnp.asarray(ids)))
+            out.append(e_[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
+    def precompute_hints(self, dataset: VQADataset, split_name: str) -> None:
+        """Retrieval prompt strings per entry (CLIP + corpus are frozen, so
+        this is loop-invariant — the TPU-first hoist of main.py:178-179)."""
+        if self.retrieval_index is None:
+            return
+        q = self._query_embeddings(dataset)
+        prompts = self.retrieval_index.retrieve(
+            jnp.asarray(q), use_quantifier=self.use_quantifier, k=self.k)
+        table = self._hints.setdefault(split_name, {})
+        for e, p in zip(dataset.entries, prompts):
+            table[e["question_id"]] = p
+
+    def hint_for(self, entry: dict, split_name: str) -> str:
+        if self.retrieval_index is None:
+            return ""
+        return self._hints.get(split_name, {}).get(entry["question_id"], "")
+
+    # -- batching --------------------------------------------------------------
+
+    def encode_entry(self, entry: dict, split_name: str) -> List[int]:
+        """Task prefix + question + retrieved hint, tokenized
+        (T5VisionModel.py:153-167; hint appended with no separator —
+        quirk #12)."""
+        text = (f"Answer the {entry['task']} question: "
+                + entry["question"] + self.hint_for(entry, split_name))
+        return self.tokenizer.encode(
+            text, max_length=self.model_cfg.max_source_length)
+
+    def make_split_batches(self, dataset: VQADataset, split_name: str,
+                           shuffle: bool = False) -> List[Batch]:
+        needs_labels = not self.model_cfg.use_prediction_head
+        rng = np.random.default_rng(
+            abs(hash((split_name, int(self.cfg.get("seed", 88)))))
+            % (2**32)) if shuffle else None
+        return make_batches(
+            dataset.entries, self.batch_size,
+            encode_fn=lambda e: self.encode_entry(e, split_name),
+            image_fn=(lambda es: np.stack(
+                [self.images[e["image_name"]] for e in es]))
+            if (self.model_cfg.use_image_info or self.model_cfg.use_ban)
+            else None,
+            target_fn=(lambda e: self.tokenizer.encode(
+                e["answer"], max_length=self.model_cfg.max_target_length))
+            if needs_labels else None,
+            label_fn=(lambda e: e["label"])
+            if self.model_cfg.use_prediction_head else None,
+            shuffle_rng=rng,
+            max_source_length=self.model_cfg.max_source_length,
+        )
+
+    def device_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
+        return pmesh.shard_batch(batch.arrays, self.mesh)
+
+    # -- steps -----------------------------------------------------------------
+
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = pmesh.make_train_step(
+                self.model_cfg, self.trainable, mesh=self.mesh)
+        return self._train_step
+
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = pmesh.make_eval_loss_step(
+                self.model_cfg, mesh=self.mesh)
+        return self._eval_step
+
+    def predict_step(self):
+        if self._predict_step is None:
+            self._predict_step = pmesh.make_predict_step(
+                self.model_cfg, mesh=self.mesh)
+        return self._predict_step
+
+    # -- phases ----------------------------------------------------------------
+
+    def validation_loss(self, batches: List[Batch]) -> float:
+        """utils.get_validation_loss parity: mean of per-batch means weighted
+        by true batch sizes (utils.py:78-87)."""
+        step = self.eval_step()
+        total, n = 0.0, 0
+        for b in batches:
+            loss = float(step(self.params, self.device_batch(b)))
+            total += loss * len(b)
+            n += len(b)
+        return total / max(n, 1)
+
+    def log(self, msg: str) -> None:
+        if not self.quiet:
+            print(msg)
+
+    def train(self, resume: bool = False) -> Dict[str, Any]:
+        cfg = self.cfg
+        hp = cfg["hyperparameters"]
+        if resume and os.path.exists(self.model_path):
+            self.params, opt, _ = ckpt.load_checkpoint(
+                self.model_path, self.params, self.opt_state)
+            if opt is not None:
+                self.opt_state = opt
+        scheduler = ReduceLROnPlateau(lr=hp["learning_rate"])
+        if self.retrieval_index is not None:
+            self.retrieval_index.is_training_phase = True
+            self.precompute_hints(self.dataset_train, "train")
+            self.precompute_hints(self.dataset_validate, "validate")
+
+        step = self.train_step()
+        val_batches = self.make_split_batches(self.dataset_validate,
+                                              "validate")
+        best_valid = float("inf")
+        best_epoch = 0
+        streak = 0
+        parameter_updates = 0
+        train_losses: List = []
+        valid_losses: List = []
+        train_info_path = os.path.join(self.log_root, self.model_prefix)
+        os.makedirs(train_info_path, exist_ok=True)
+
+        for epoch in range(hp["epochs"]):
+            self.log(f"Starting epoch {epoch} ...")
+            self.log(f"The learning rate is now {scheduler.lr}")
+            batches = self.make_split_batches(self.dataset_train, "train",
+                                              shuffle=True)
+            train_total = 0.0
+            t0 = time.time()
+            for b in batches:
+                self.rng, key = jax.random.split(self.rng)
+                self.params, self.opt_state, loss = step(
+                    self.params, self.opt_state, self.device_batch(b),
+                    jnp.float32(scheduler.lr), key)
+                parameter_updates += 1
+                train_total += float(loss) * len(b)
+            n_train = sum(len(b) for b in batches)
+            self.log(f"Train loss is {train_total / max(n_train, 1)} "
+                     f"({time.time() - t0:.1f}s)")
+            valid_loss = self.validation_loss(val_batches)
+            scheduler.step(valid_loss)
+            self.log(f"Validation Loss: {valid_loss} | Best Validation "
+                     f"Loss: {best_valid} at epoch {best_epoch}")
+            if valid_loss < best_valid:
+                self.log(f"Saving model to {self.model_path} ...")
+                ckpt.save_checkpoint(
+                    self.model_path, self.params, self.opt_state,
+                    metadata={"epoch": epoch, "valid_loss": valid_loss,
+                              "config": cfg})
+                best_valid = valid_loss
+                best_epoch = epoch
+                streak = 0
+            else:
+                streak += 1
+            train_losses.append(
+                (parameter_updates, train_total / max(n_train, 1)))
+            valid_losses.append((parameter_updates, valid_loss))
+            if streak > 30:
+                self.log(f"Loss didn't improve for {streak - 1} epochs. "
+                         "Stopping training ...")
+                break
+
+        with open(os.path.join(train_info_path, "training_loss.txt"),
+                  "w") as f:
+            f.write("parameter_updates,loss\n")
+            for u, l in train_losses:
+                f.write(f"{u},{l}\n")
+        with open(os.path.join(train_info_path, "validation_loss.txt"),
+                  "w") as f:
+            f.write("parameter_updates,loss\n")
+            for u, l in valid_losses:
+                f.write(f"{u},{l}\n")
+        return {"best_valid_loss": best_valid, "best_epoch": best_epoch,
+                "parameter_updates": parameter_updates}
+
+    def test(self, load: bool = True) -> TestMetrics:
+        if load and os.path.exists(self.model_path):
+            self.params, _, _ = ckpt.load_checkpoint(
+                self.model_path, self.params)
+        mcfg = self.model_cfg
+        if self.retrieval_index is not None:
+            self.retrieval_index.is_training_phase = False
+            self.precompute_hints(self.dataset_test, "test")
+            test_q = self._query_embeddings(self.dataset_test)
+            qpos = {e["question_id"]: i
+                    for i, e in enumerate(self.dataset_test.entries)}
+        metrics = TestMetrics(retrieval_k=self.k)
+        step = self.predict_step()
+        batches = self.make_split_batches(self.dataset_test, "test")
+        do_retrieval_diag = (self.retrieval_index is not None
+                             and not mcfg.use_prediction_head)
+        for b in batches:
+            preds = np.asarray(step(self.params, self.device_batch(b)))
+            if do_retrieval_diag:
+                rows = np.stack([test_q[qpos[e["question_id"]]]
+                                 for e in b.entries])
+                r_ans = self.retrieval_index.retrieve(
+                    jnp.asarray(rows), return_ans=True, k=self.k)
+                r_types = self.retrieval_index.retrieve(
+                    jnp.asarray(rows), return_info=["question_type"],
+                    k=self.k)
+            for i, entry in enumerate(b.entries):
+                if not b.valid[i]:
+                    continue
+                if mcfg.use_prediction_head:
+                    metrics.add_classification(int(preds[i]), entry)
+                    continue
+                answer = self.tokenizer.decode(preds[i],
+                                               skip_special_tokens=True)
+                closest = self.dataset_test.get_closest_label(answer.lower())
+                metrics.add_generative(answer, entry, closest)
+                if do_retrieval_diag:
+                    metrics.add_retrieval_diagnostics(
+                        answer, entry, r_ans[i], r_types[i])
+        self.log(metrics.report())
+        metrics.write_artifacts(self.log_root, self.model_prefix)
+        return metrics
+
+
+def run_from_config(config_path: str, *, train: bool = False,
+                    resume: bool = False, test: bool = False,
+                    model_file: Optional[str] = None, **kw):
+    with open(config_path) as f:
+        cfg = json.load(f)
+    exp = Experiment(cfg, train_mode=train or resume,
+                     model_file=model_file, **kw)
+    results = {}
+    if train or resume:
+        results["train"] = exp.train(resume=resume)
+    if test:
+        results["test"] = exp.test()
+    return exp, results

@@ -1,0 +1,102 @@
+"""Numerical parity of the JAX CLIP towers vs HF CLIPModel (random weights).
+
+HF's CLIPModel with hidden_act="quick_gelu" is architecturally identical to
+OpenAI CLIP (which the reference loads via clip.load). We compare:
+  * all-token projected image features (the reference's monkey-patched
+    visual.forward, T5VisionModel.py:112-139),
+  * pooled image embeddings (encode_image),
+  * pooled text embeddings (encode_text, EOT-argmax pooling).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.models import clip as jclip
+from multimodalpromptretrieval_tpu.models.convert import (
+    clip_from_hf,
+    state_dict_to_numpy,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel
+
+    cfg = jclip.CLIPConfig.tiny()
+    torch.manual_seed(0)
+    hf_cfg = HFCLIPConfig(
+        projection_dim=cfg.embed_dim,
+        vision_config={
+            "hidden_size": cfg.vision_width,
+            "intermediate_size": cfg.vision_width * 4,
+            "num_hidden_layers": cfg.vision_layers,
+            "num_attention_heads": cfg.vision_heads,
+            "image_size": cfg.image_resolution,
+            "patch_size": cfg.patch_size,
+            "hidden_act": "quick_gelu",
+            "attention_dropout": 0.0,
+        },
+        text_config={
+            "hidden_size": cfg.text_width,
+            "intermediate_size": cfg.text_width * 4,
+            "num_hidden_layers": cfg.text_layers,
+            "num_attention_heads": cfg.text_heads,
+            "max_position_embeddings": cfg.context_length,
+            "vocab_size": cfg.vocab_size,
+            "hidden_act": "quick_gelu",
+            "attention_dropout": 0.0,
+            "eos_token_id": cfg.vocab_size - 1,
+            "bos_token_id": cfg.vocab_size - 2,
+            "pad_token_id": 0,
+        },
+    )
+    hf = CLIPModel(hf_cfg).eval()
+    params = clip_from_hf(state_dict_to_numpy(hf.state_dict()), cfg)
+    return hf, cfg, params
+
+
+def test_image_tokens_match_hf(pair):
+    hf, cfg, params = pair
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 3, cfg.image_resolution,
+                              cfg.image_resolution)).astype(np.float32)
+    with torch.no_grad():
+        out = hf.vision_model(pixel_values=torch.tensor(images))
+        all_tok = hf.vision_model.post_layernorm(out.last_hidden_state)
+        ref = hf.visual_projection(all_tok).numpy()
+    got = np.asarray(jclip.clip_image_tokens(params, cfg, jnp.asarray(images)))
+    assert got.shape == (2, cfg.num_image_tokens, cfg.embed_dim)
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_encode_image_matches_hf(pair):
+    hf, cfg, params = pair
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(3, 3, cfg.image_resolution,
+                              cfg.image_resolution)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.get_image_features(pixel_values=torch.tensor(images)).numpy()
+    got = np.asarray(jclip.clip_encode_image(params, cfg, jnp.asarray(images)))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_encode_text_matches_hf(pair):
+    hf, cfg, params = pair
+    rng = np.random.default_rng(2)
+    B, L = 3, cfg.context_length
+    ids = rng.integers(1, cfg.vocab_size - 2, size=(B, L))
+    eot = cfg.vocab_size - 1
+    for b, pos in enumerate([4, L - 1, 7]):
+        ids[b, pos] = eot       # EOT = highest id -> argmax pooling position
+        ids[b, pos + 1:] = 0    # zero-pad after EOT like clip.tokenize
+    ids = ids.astype(np.int64)
+    with torch.no_grad():
+        ref = hf.get_text_features(input_ids=torch.tensor(ids)).numpy()
+    got = np.asarray(jclip.clip_encode_text(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
