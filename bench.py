@@ -1,0 +1,147 @@
+"""End-to-end serving benchmark: SLAKE-style QA pairs/sec on one chip.
+
+Measures the BASELINE.json north-star pipeline per batch: CLIP ViT-B/32
+visual prefix (50 tokens) -> retrieval query embedding + fused L2 top-k
+(k=1) over an (N, 1024) index -> T5-small encode -> greedy decode
+(max_new_tokens=20, while_loop + KV cache), all inside ONE jit.
+
+The reference publishes no numbers (SURVEY.md §6); the baseline is the
+driver's target: 2,000 QA pairs/sec. ``vs_baseline`` = value / 2000.
+
+Run:  python bench.py            (real chip, bf16 compute)
+      python bench.py --preset tiny --platform cpu   (smoke test)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build(preset: str, dtype_name: str, batch: int, seq_len: int,
+          corpus: int, k: int, decode_len: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+    from multimodalpromptretrieval_tpu.models.t5 import (
+        T5Config,
+        t5_encode,
+        t5_greedy_decode,
+    )
+    from multimodalpromptretrieval_tpu.models.clip import (
+        clip_encode_text,
+        clip_image_tokens,
+    )
+    from multimodalpromptretrieval_tpu.ops.topk import l2_topk
+
+    if preset == "full":
+        t5 = T5Config.t5_small()
+        clip = CLIPConfig.vit_b32()
+    else:
+        t5 = T5Config(vocab_size=4096, d_model=128, d_kv=32, d_ff=256,
+                      num_layers=2, num_decoder_layers=2, num_heads=4)
+        clip = CLIPConfig(embed_dim=128, image_resolution=64,
+                          vision_width=128, vision_layers=2, patch_size=16,
+                          context_length=16, vocab_size=128, text_width=128,
+                          vision_heads_override=2, text_heads_override=2)
+    cfg = mprgen.MPRGenConfig(t5=t5, clip=clip, use_image_info=True)
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    params = mprgen.init_mprgen(key, cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    rng = np.random.default_rng(0)
+    R = clip.image_resolution
+    images = jnp.asarray(
+        rng.normal(size=(batch, 3, R, R)).astype(np.float32), dtype)
+    input_ids = jnp.asarray(rng.integers(
+        2, t5.vocab_size, size=(batch, seq_len)), jnp.int32)
+    text_mask = jnp.ones((batch, seq_len), jnp.int32)
+    clip_text_ids = jnp.asarray(rng.integers(
+        1, clip.vocab_size, size=(batch, clip.context_length)), jnp.int32)
+    index = jnp.asarray(rng.normal(
+        size=(corpus, 2 * clip.embed_dim)).astype(np.float32))
+    index_sq = jnp.sum(jnp.square(index), axis=-1)
+
+    def serve(params, images, input_ids, text_mask, clip_text_ids,
+              index, index_sq):
+        # visual prefix — all 50 tokens; row 0 doubles as the pooled
+        # retrieval-query image embedding (one ViT pass serves both)
+        tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+        img_pooled = tokens[:, 0].astype(jnp.float32)
+        txt_pooled = clip_encode_text(
+            params["clip"], cfg.clip, clip_text_ids).astype(jnp.float32)
+        query = jnp.concatenate([img_pooled, txt_pooled], axis=1)
+        dists, idx = l2_topk(query, index, k, index_sq=index_sq, impl="xla")
+        prefix = tokens
+        if cfg.needs_projection:
+            from multimodalpromptretrieval_tpu.ops.layers import dense
+
+            prefix = dense(prefix, params["proj"]["w"], params["proj"]["b"])
+        q_emb = params["t5"]["shared"][input_ids]
+        embeds = jnp.concatenate([prefix, q_emb], axis=1)
+        B, P = images.shape[0], prefix.shape[1]
+        mask = jnp.concatenate(
+            [jnp.ones((B, P), text_mask.dtype), text_mask], axis=1)
+        enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
+        # early_stop=False: always decode the full max_new_tokens — random
+        # bench weights would otherwise hit EOS after ~1 step and undercount
+        out = t5_greedy_decode(params["t5"], cfg.t5, enc, mask,
+                               max_new_tokens=decode_len, early_stop=False)
+        return out, idx, dists
+
+    fn = jax.jit(serve)
+    args = (params, images, input_ids, text_mask, clip_text_ids,
+            index, index_sq)
+    return fn, args
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="full", choices=["full", "tiny"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--seq-len", type=int, default=32)
+    p.add_argument("--corpus", type=int, default=4919)  # SLAKE en train size
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--decode-len", type=int, default=20)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
+                      args.corpus, args.k, args.decode_len)
+    import numpy as np
+
+    # warmup/compile — materialize on host: on the axon (tunneled TPU)
+    # platform block_until_ready returns before execution completes, so a
+    # host fetch is the only reliable sync point
+    np.asarray(fn(*fargs)[0])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = np.asarray(fn(*fargs)[0])
+    dt = time.perf_counter() - t0
+    qa_per_sec = args.batch * args.iters / dt
+    baseline = 2000.0
+    print(json.dumps({
+        "metric": "slake_serve_qa_pairs_per_sec",
+        "value": round(qa_per_sec, 2),
+        "unit": "QA/s",
+        "vs_baseline": round(qa_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

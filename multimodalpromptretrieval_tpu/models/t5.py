@@ -354,6 +354,7 @@ def _precompute_cross_kv(params, cfg, encoder_hidden):
 def t5_greedy_decode(
     params: Params, cfg: T5Config, encoder_hidden: jnp.ndarray,
     encoder_mask: Optional[jnp.ndarray], max_new_tokens: int = 20,
+    early_stop: bool = True,
 ) -> jnp.ndarray:
     """Greedy generation. Returns (B, 1 + max_new_tokens) int32 sequences
     beginning with decoder_start_token_id; positions after EOS are pad.
@@ -436,6 +437,10 @@ def t5_greedy_decode(
 
     def cond_fn(state):
         t, _, _, _, finished = state
+        if not early_stop:
+            # benchmark mode: always run all T steps (random-weight models
+            # emit EOS immediately, which would undercount decode cost)
+            return t < T
         return jnp.logical_and(t < T, ~jnp.all(finished))
 
     _, tokens, _, _, _ = jax.lax.while_loop(

@@ -72,7 +72,7 @@ def sharded_l2_topk(query, index_sharded, n_valid: int, k: int, *,
         out_i = jnp.take_along_axis(i_by_idx, final, axis=1)
         return out_d, out_i
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         local, mesh=mesh,

@@ -1,0 +1,145 @@
+"""End-to-end integration: synthetic SLAKE mini-dataset through the full
+driver (the reference had no tests; --test doubled as its integration test,
+SURVEY.md §4 — this suite covers all four model variants + retrieval).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodalpromptretrieval_tpu.data.synthetic import (
+    generate_synthetic_slake,
+    synthetic_config,
+)
+from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    generate_synthetic_slake(str(root / "SLAKE"), n_train=24, n_validate=8,
+                             n_test=8, image_size=32, seed=0)
+    return str(root)
+
+
+def _cfg(synth_root, **kw):
+    cfg = synthetic_config(synth_root, batch_size=8, epochs=1,
+                           image_size=32)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg.update(kw)
+    return cfg
+
+
+def _run(cfg, tmp_path, train=True, test=True):
+    exp = Experiment(cfg, train_mode=train,
+                     log_root=os.path.join(tmp_path, "logs"),
+                     model_root=os.path.join(tmp_path, "models"),
+                     quiet=True)
+    out = {}
+    if train:
+        out["train"] = exp.train()
+    if test:
+        exp2 = Experiment(cfg, train_mode=False,
+                          log_root=os.path.join(tmp_path, "logs"),
+                          model_root=os.path.join(tmp_path, "models"),
+                          quiet=True)
+        out["test"] = exp2.test()
+    return out
+
+
+def test_generative_train_and_test(synth_root, tmp_path):
+    out = _run(_cfg(synth_root), str(tmp_path))
+    assert np.isfinite(out["train"]["best_valid_loss"])
+    m = out["test"]
+    assert sum(m.total.values()) == 24  # 8 test images × 3 QA pairs
+    assert 0.0 <= m.overall <= 1.0
+    # artifact files exist with the reference layout
+    logs = os.path.join(str(tmp_path), "logs")
+    assert os.path.exists(os.path.join(logs, "correct_ids.txt"))
+    assert os.path.exists(os.path.join(logs, "incorrect_ids.txt"))
+    perf = [f for f in os.listdir(logs) if f.endswith("performance.txt")]
+    assert perf
+
+
+def test_training_reduces_loss(synth_root, tmp_path):
+    cfg = _cfg(synth_root)
+    cfg["hyperparameters"]["epochs"] = 3
+    exp = Experiment(cfg, train_mode=True,
+                     log_root=os.path.join(str(tmp_path), "logs"),
+                     model_root=os.path.join(str(tmp_path), "models"),
+                     quiet=True)
+    res = exp.train()
+    prefix_dir = os.path.join(str(tmp_path), "logs", exp.model_prefix)
+    with open(os.path.join(prefix_dir, "training_loss.txt")) as f:
+        lines = f.read().strip().splitlines()[1:]
+    losses = [float(l.split(",")[1]) for l in lines]
+    assert losses[-1] < losses[0]
+    assert res["best_valid_loss"] < float("inf")
+
+
+def test_retrieval_end_to_end(synth_root, tmp_path):
+    cfg = _cfg(synth_root, retrieval=1, k=3)
+    cfg["retrieval"] = 1
+    out = _run(cfg, str(tmp_path))
+    m = out["test"]
+    # the seven retrieval diagnostics were collected
+    assert len(m.consistencies) == 24
+    assert "retrieved answers" in m.report()
+
+
+def test_prediction_head_variant(synth_root, tmp_path):
+    cfg = _cfg(synth_root, use_prediction_head=1)
+    out = _run(cfg, str(tmp_path))
+    m = out["test"]
+    assert sum(m.total.values()) == 24
+
+
+def test_ban_variant(synth_root, tmp_path):
+    cfg = _cfg(synth_root, use_prediction_head=1, use_BAN=1)
+    cfg["glimpse"] = 10
+    out = _run(cfg, str(tmp_path))
+    assert np.isfinite(out["train"]["best_valid_loss"])
+
+
+def test_frozen_variant_only_updates_shared(synth_root, tmp_path):
+    import jax
+
+    cfg = _cfg(synth_root, freeze=1)
+    exp = Experiment(cfg, train_mode=True,
+                     log_root=os.path.join(str(tmp_path), "logs"),
+                     model_root=os.path.join(str(tmp_path), "models"),
+                     quiet=True)
+    before = jax.tree.map(np.asarray, exp.params)
+    exp.train()
+    after = exp.params
+    # shared embedding moved
+    assert not np.allclose(np.asarray(after["t5"]["shared"]),
+                           before["t5"]["shared"])
+    # everything else in T5 (and all of CLIP) is bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(after["t5"]["encoder"]["block"]["attn"]["q"]),
+        before["t5"]["encoder"]["block"]["attn"]["q"])
+    np.testing.assert_array_equal(
+        np.asarray(after["clip"]["visual"]["proj"]),
+        before["clip"]["visual"]["proj"])
+
+
+def test_text_only_variant(synth_root, tmp_path):
+    cfg = _cfg(synth_root, use_image_info=0)
+    cfg["use_image_info"] = 0
+    out = _run(cfg, str(tmp_path))
+    assert np.isfinite(out["train"]["best_valid_loss"])
+
+
+def test_resume_continues_from_checkpoint(synth_root, tmp_path):
+    cfg = _cfg(synth_root)
+    _run(cfg, str(tmp_path), test=False)
+    exp = Experiment(cfg, train_mode=True,
+                     log_root=os.path.join(str(tmp_path), "logs"),
+                     model_root=os.path.join(str(tmp_path), "models"),
+                     quiet=True)
+    res = exp.train(resume=True)
+    assert np.isfinite(res["best_valid_loss"])

@@ -1,0 +1,116 @@
+"""Mesh / pjit sharding tests on the virtual 8-device CPU platform.
+
+The reference has no distribution story (SURVEY.md §2c); these tests pin
+down the TPU build's: DP train step over a ("data","model") mesh, sharded
+batch placement, and the index-sharded retrieval top-k whose merged result
+must equal the single-device kernel exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+from multimodalpromptretrieval_tpu.models.t5 import T5Config
+from multimodalpromptretrieval_tpu.ops.topk import l2_topk
+from multimodalpromptretrieval_tpu.parallel import (
+    mesh as pmesh,
+    retrieval as pret,
+)
+from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+
+def _tiny_cfg():
+    return mprgen.MPRGenConfig(
+        t5=T5Config(vocab_size=256, d_model=32, d_kv=8, d_ff=64,
+                    num_layers=2, num_decoder_layers=2, num_heads=4),
+        clip=CLIPConfig(embed_dim=32, image_resolution=32, vision_width=32,
+                        vision_layers=1, patch_size=16, context_length=8,
+                        vocab_size=64, text_width=32,
+                        vision_heads_override=2, text_heads_override=2),
+        use_image_info=True,
+    )
+
+
+def _batch(cfg, B):
+    rng = np.random.default_rng(0)
+    R = cfg.clip.image_resolution
+    return {
+        "images": rng.normal(size=(B, 3, R, R)).astype(np.float32),
+        "input_ids": rng.integers(2, cfg.t5.vocab_size,
+                                  size=(B, 12)).astype(np.int32),
+        "text_mask": np.ones((B, 12), np.int32),
+        "labels": rng.integers(2, cfg.t5.vocab_size,
+                               size=(B, 6)).astype(np.int64),
+    }
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.get_mesh(n_data=8)
+
+
+def test_dp_train_step_runs_and_matches_single_device(mesh):
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    opt = adamw_init(params)
+    batch = _batch(cfg, 16)
+
+    # single-device reference
+    step1 = pmesh.make_train_step(cfg, donate=False)
+    p1, _, loss1 = step1(params, opt, batch, jnp.float32(1e-3),
+                         jax.random.PRNGKey(1))
+
+    # 8-way DP
+    p = pmesh.shard_params(params, mesh)
+    o = pmesh.shard_params(opt, mesh)
+    b = pmesh.shard_batch(batch, mesh)
+    step8 = pmesh.make_train_step(cfg, mesh=mesh, donate=False)
+    p8, _, loss8 = step8(p, o, b, jnp.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["t5"]["shared"]), np.asarray(p8["t5"]["shared"]),
+        rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_batch_placement(mesh):
+    cfg = _tiny_cfg()
+    b = pmesh.shard_batch(_batch(cfg, 16), mesh)
+    sh = b["images"].sharding
+    assert sh.is_equivalent_to(pmesh.batch_sharding(mesh), 4)
+
+
+def test_sharded_retrieval_matches_single_device(mesh):
+    rng = np.random.default_rng(3)
+    index = rng.normal(size=(100, 64)).astype(np.float32)
+    query = rng.normal(size=(5, 64)).astype(np.float32)
+    # duplicate rows to exercise tie-breaking across shard boundaries
+    index[50] = index[3]
+    index[77] = index[3]
+    ref_d, ref_i = l2_topk(jnp.asarray(query), jnp.asarray(index), 7,
+                           impl="xla")
+    sharded, n_valid = pret.pad_index_for_mesh(jnp.asarray(index), mesh)
+    d, i = pret.sharded_l2_topk(jnp.asarray(query), sharded, n_valid, 7,
+                                mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_retrieval_skip_first(mesh):
+    rng = np.random.default_rng(4)
+    index = rng.normal(size=(64, 32)).astype(np.float32)
+    query = index[10:14]  # queries drawn from the corpus
+    sharded, n_valid = pret.pad_index_for_mesh(jnp.asarray(index), mesh)
+    d, i = pret.sharded_l2_topk(jnp.asarray(query), sharded, n_valid, 3,
+                                mesh=mesh, skip_first=True)
+    # the self-match (distance 0) must be gone
+    assert np.all(np.asarray(d) > 1e-3)
+    for row, qi in zip(np.asarray(i), range(10, 14)):
+        assert qi not in row
