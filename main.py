@@ -53,10 +53,16 @@ def main(argv=None) -> None:
     if args.test:
         exp.test()
     if args.eval:
+        import os
+
+        from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
         from multimodalpromptretrieval_tpu.train.visualize import (
             visualize_correct_ids,
         )
 
+        if os.path.exists(exp.model_path):
+            exp.params, _, _ = ckpt.load_checkpoint(
+                exp.model_path, exp.params)
         visualize_correct_ids(exp, qid=args.qid)
 
 

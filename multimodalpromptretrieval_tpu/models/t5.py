@@ -332,6 +332,99 @@ def t5_loss(
     return -jnp.sum(token_ll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
+def _attention_probs(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask,
+                     causal):
+    """Like _attention_block but also returns the softmax probabilities —
+    the diagnostic path behind HF's output_attentions=True (used by the
+    attention-viz eval mode, reference utils.py:127-284). XLA-only."""
+    B, Lq, _ = x_q.shape
+    Lk = x_kv.shape[1]
+    H, Dk = cfg.num_heads, cfg.d_kv
+
+    def split_heads(y, L):
+        return jnp.transpose(y.reshape(B, L, H, Dk), (0, 2, 1, 3))
+
+    q = split_heads(dense(x_q, p["q"]), Lq)
+    k = split_heads(dense(x_kv, p["k"]), Lk)
+    v = split_heads(dense(x_kv, p["v"]), Lk)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, -1e9)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+        scores = jnp.where((ki <= qi)[None, None], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, Lq, H * Dk)
+    return dense(o, p["o"]), probs
+
+
+def t5_forward_with_attentions(
+    params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray], decoder_input_ids: jnp.ndarray,
+):
+    """Full teacher-forced forward returning every attention map.
+
+    Returns dict with ``encoder_attentions`` (L, B, H, Lsrc, Lsrc),
+    ``decoder_attentions`` (L, B, H, T, T), ``cross_attentions``
+    (L, B, H, T, Lsrc) and ``logits`` — the JAX analogue of HF
+    ``output_attentions=True`` that the viz mode consumes.
+    """
+    enc = params["encoder"]
+    dec = params["decoder"]
+    L = inputs_embeds.shape[1]
+    T = decoder_input_ids.shape[1]
+    kv_mask = None if attention_mask is None else attention_mask.astype(bool)
+    enc_bias = compute_position_bias(enc["rel_bias"], L, L,
+                                     bidirectional=True, cfg=cfg)
+
+    def enc_layer(x, p):
+        h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
+        a, probs = _attention_probs(p["attn"], cfg, h, h, bias=enc_bias,
+                                    kv_mask=kv_mask, causal=False)
+        x = x + a
+        h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+        x = x + _ff_block(p["ff"], cfg, h)
+        return x, probs
+
+    x, enc_attn = jax.lax.scan(enc_layer, inputs_embeds, enc["block"])
+    enc_hidden = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+
+    dec_bias = compute_position_bias(dec["rel_bias"], T, T,
+                                     bidirectional=False, cfg=cfg)
+    y = params["shared"][decoder_input_ids]
+
+    def dec_layer(y, p):
+        h = rms_norm(y, p["self_ln"], cfg.layer_norm_epsilon)
+        a, self_probs = _attention_probs(p["self_attn"], cfg, h, h,
+                                         bias=dec_bias, kv_mask=None,
+                                         causal=True)
+        y = y + a
+        h = rms_norm(y, p["cross_ln"], cfg.layer_norm_epsilon)
+        a, cross_probs = _attention_probs(p["cross_attn"], cfg, h,
+                                          enc_hidden, bias=None,
+                                          kv_mask=kv_mask, causal=False)
+        y = y + a
+        h = rms_norm(y, p["ff_ln"], cfg.layer_norm_epsilon)
+        y = y + _ff_block(p["ff"], cfg, h)
+        return y, (self_probs, cross_probs)
+
+    y, (dec_attn, cross_attn) = jax.lax.scan(dec_layer, y, dec["block"])
+    y = rms_norm(y, dec["final_ln"], cfg.layer_norm_epsilon)
+    y = y * (cfg.d_model**-0.5)
+    logits = jnp.dot(y, params["shared"].T.astype(y.dtype))
+    return {
+        "encoder_attentions": enc_attn,
+        "decoder_attentions": dec_attn,
+        "cross_attentions": cross_attn,
+        "logits": logits.astype(jnp.float32),
+        "encoder_hidden": enc_hidden,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Greedy decode: one jit for the whole while_loop with preallocated KV cache
 # ---------------------------------------------------------------------------
