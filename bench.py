@@ -121,6 +121,11 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    # persistent compile cache: the tunneled-TPU first compile is minutes;
+    # cache it across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
                       args.corpus, args.k, args.decode_len)
     import numpy as np

@@ -97,15 +97,21 @@ class VQADataset:
 
     def get_closest_label(self, answer: str) -> int:
         """Fuzzy label via difflib ratio over ALL entries — the test-time
-        string-match credit (VQAFeatureDataset.py:55-58, quirk #13).
-        ``sorted(..., reverse=True)`` is stable, so among ties the earliest
-        entry wins, like the reference."""
-        closest = max(
-            self.entries,
-            key=lambda x: SequenceMatcher(None, x["answer"], answer).ratio())
-        # max() returns the FIRST maximal element; reference uses
-        # sorted(reverse=True)[0] which also keeps the first. Equivalent.
-        return closest["label"]
+        string-match credit (VQAFeatureDataset.py:55-58, quirk #13). The
+        reference's ``sorted(..., reverse=True)[0]`` is stable, so among
+        ties the earliest entry wins; native.closest_index (C++ difflib
+        port) keeps that tie-break and replaces the O(N·len²) Python scan."""
+        from multimodalpromptretrieval_tpu.native import closest_index
+
+        answers = self._answer_list()
+        return self.entries[closest_index(answer, answers)]["label"]
+
+    def _answer_list(self) -> List[str]:
+        cached = getattr(self, "_answers_cache", None)
+        if cached is None or len(cached) != len(self.entries):
+            cached = [e["answer"] for e in self.entries]
+            self._answers_cache = cached
+        return cached
 
     def filter_max_answers(self, num: int,
                            answer_set: Optional[set] = None) -> Sequence[str]:

@@ -78,7 +78,7 @@ def sharded_l2_topk(query, index_sharded, n_valid: int, k: int, *,
         local, mesh=mesh,
         in_specs=(P(), P("data", None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     d, i = fn(query, index_sharded)
     if skip_first:

@@ -243,10 +243,21 @@ class T5SentencePieceTokenizer:
     T5VisionModel.py:58-61).
     """
 
-    def __init__(self, vocab: UnigramVocab, extra_ids: int = 0):
+    def __init__(self, vocab: UnigramVocab, extra_ids: int = 0,
+                 use_native: bool = True):
         self.vocab = vocab
         self.base_size = len(vocab.pieces)
         self.extra_ids = extra_ids
+        self._native = None
+        if use_native:
+            try:
+                from multimodalpromptretrieval_tpu.native import NativeViterbi
+
+                nv = NativeViterbi(vocab.pieces)
+                if nv.available:
+                    self._native = nv
+            except Exception:
+                self._native = None
         self.added: Dict[str, int] = {}
         for i in range(extra_ids):
             # HF maps <extra_id_0> to the LAST id (base+extra-1), counting down
@@ -306,6 +317,8 @@ class T5SentencePieceTokenizer:
         for chunk, tok_id in self._split_added(text):
             if tok_id is not None:
                 ids.append(tok_id)
+            elif self._native is not None:
+                ids.extend(self._native.encode(normalize(chunk)))
             else:
                 ids.extend(viterbi_encode(self.vocab, normalize(chunk)))
         if add_eos:
