@@ -63,6 +63,12 @@ Params = Dict[str, Any]
 class MPRGenConfig:
     t5: T5Config
     clip: CLIPConfig
+    # RN path: when set, the visual prefix comes from the ModifiedResNet's
+    # layer4 grid features + a trainable projection (the reference's
+    # "Use RNx4" branch, T5VisionModel.py:53-54,90-109). The CLIP ViT still
+    # exists for the retrieval query path (quirk #2: the retrieval corpus
+    # is always embedded with stock ViT-B/32).
+    resnet: Any = None  # Optional[resnet.ResNetConfig]
     use_image_info: bool = True
     use_prediction_head: bool = False
     use_ban: bool = False
@@ -81,6 +87,8 @@ class MPRGenConfig:
 
     @property
     def num_image_tokens(self) -> int:
+        if self.resnet is not None:
+            return self.resnet.grid ** 2  # no CLS token on the RN path
         return self.clip.num_image_tokens
 
 
@@ -92,6 +100,22 @@ def init_mprgen(key, cfg: MPRGenConfig) -> Params:
         "clip": init_clip(k_clip, cfg.clip),
         "t5": init_t5(k_t5, cfg.t5),
     }
+    if cfg.resnet is not None:
+        from multimodalpromptretrieval_tpu.models import resnet as rn
+
+        k_rn = jax.random.fold_in(k_clip, 1)
+        params["clip_rn"] = rn.init_resnet(k_rn, cfg.resnet)
+        c = cfg.resnet.final_channels
+        bound = c ** -0.5
+        # trainable projection over the layer4 grid features; the reference
+        # hardcodes Linear(2560, 512) (T5VisionModel.py:53) — here it maps
+        # to d_model so t5-large also works
+        params["rn_proj"] = {
+            "w": jax.random.uniform(jax.random.fold_in(k_rn, 2),
+                                    (c, cfg.t5.d_model),
+                                    minval=-bound, maxval=bound),
+            "b": jnp.zeros((cfg.t5.d_model,)),
+        }
     if cfg.needs_projection:
         bound = cfg.clip.embed_dim ** -0.5
         params["proj"] = {
@@ -134,6 +158,8 @@ def trainable_mask(params: Params, cfg: MPRGenConfig) -> Params:
 
     mask = {k: sub(v, True) for k, v in params.items()}
     mask["clip"] = sub(params["clip"], False)
+    if "clip_rn" in params:
+        mask["clip_rn"] = sub(params["clip_rn"], False)
     if cfg.freeze:
         mask["t5"] = sub(params["t5"], False)
         mask["t5"]["shared"] = True
@@ -175,8 +201,16 @@ def image_prefix(params: Params, cfg: MPRGenConfig,
 
     Mirrors get_image_token_features (T5VisionModel.py:112-139): full ViT
     forward returning all tokens, optional mapping MLP, optional projection
-    to d_model for t5-large.
+    to d_model for t5-large. RN path (get_resnet_features,
+    T5VisionModel.py:90-105): layer4 grid features -> trainable projection.
     """
+    if cfg.resnet is not None:
+        from multimodalpromptretrieval_tpu.models.resnet import (
+            resnet_grid_features,
+        )
+
+        grid = resnet_grid_features(params["clip_rn"], cfg.resnet, images)
+        return dense(grid, params["rn_proj"]["w"], params["rn_proj"]["b"])
     tokens = clip_image_tokens(params["clip"], cfg.clip, images)
     if cfg.use_mapping and "mapping" in params:
         tokens = mapping_apply(params["mapping"], tokens)
@@ -276,9 +310,9 @@ def _ban_features(params: Params, cfg: MPRGenConfig, images, input_ids,
     carries no retrieval hint and no image prefix."""
     q = params["t5"]["shared"][input_ids]
     q = q / jnp.sqrt(jnp.sum(jnp.square(q), axis=2, keepdims=True))
-    img = clip_image_tokens(params["clip"], cfg.clip, images)
-    if cfg.needs_projection:
-        img = dense(img, params["proj"]["w"], params["proj"]["b"])
+    # same patched visual forward as the generative path (BAN.py:119 calls
+    # vision_model.visual, i.e. ViT tokens / RN grid features + projection)
+    img = image_prefix(params, cfg, images)
     img = img / jnp.sqrt(jnp.sum(jnp.square(img), axis=2, keepdims=True))
     return q, img
 

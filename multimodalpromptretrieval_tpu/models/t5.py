@@ -465,6 +465,12 @@ def t5_greedy_decode(
     # Full causal decoder position bias, sliced per step: (1, H, T, T).
     full_bias = compute_position_bias(dec["rel_bias"], T, T,
                                       bidirectional=False, cfg=cfg)
+    # Fuse the per-layer self-attention q/k/v projections into one matmul
+    # per decode step: (Lyrs, D, 3·inner). The MXU sees one larger GEMM
+    # instead of three skinny ones (decode is latency-bound).
+    qkv_w = jnp.concatenate(
+        [dec["block"]["self_attn"]["q"], dec["block"]["self_attn"]["k"],
+         dec["block"]["self_attn"]["v"]], axis=2)
 
     self_k = jnp.zeros((Lyrs, B, H, T, Dk), encoder_hidden.dtype)
     self_v = jnp.zeros_like(self_k)
@@ -482,14 +488,12 @@ def t5_greedy_decode(
 
         def layer(carry, inp):
             x = carry
-            p, sk, sv, bias_row, ck, cv = inp
+            p, wqkv, sk, sv, bias_row, ck, cv = inp
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            q = jnp.transpose(
-                dense(h, p["self_attn"]["q"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
-            k_new = jnp.transpose(
-                dense(h, p["self_attn"]["k"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
-            v_new = jnp.transpose(
-                dense(h, p["self_attn"]["v"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
+            qkv = dense(h, wqkv).reshape(B, 3, H, Dk)
+            q = jnp.transpose(qkv[:, 0:1], (0, 2, 1, 3))
+            k_new = jnp.transpose(qkv[:, 1:2], (0, 2, 1, 3))
+            v_new = jnp.transpose(qkv[:, 2:3], (0, 2, 1, 3))
             sk = jax.lax.dynamic_update_slice(sk, k_new, (0, 0, t, 0))
             sv = jax.lax.dynamic_update_slice(sv, v_new, (0, 0, t, 0))
             o = multi_head_attention(
@@ -517,7 +521,8 @@ def t5_greedy_decode(
 
         x, (self_k, self_v) = jax.lax.scan(
             layer, x,
-            (dec["block"], self_k, self_v, bias_rows, cross_k, cross_v),
+            (dec["block"], qkv_w, self_k, self_v, bias_rows, cross_k,
+             cross_v),
         )
         x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
         x = x * (cfg.d_model**-0.5)

@@ -142,8 +142,29 @@ class Experiment:
         num_classes = (cfg["max_answers"]
                        if cfg.get("max_answers") and not cfg.get("use_BAN")
                        else len(self.ans2label))
+        rn_cfg = None
+        if "RN" in cfg.get("vision_encoder", ""):
+            from multimodalpromptretrieval_tpu.models.resnet import (
+                ResNetConfig,
+            )
+
+            base_rn = (ResNetConfig.rn50x4() if "x4" in cfg["vision_encoder"]
+                       else ResNetConfig.rn50())
+            import dataclasses as _dc
+
+            # images are preprocessed once at the dataset CLIP's resolution
+            # (quirk #2: the cache is built by the stock ViT-B/32 transform)
+            # — the fully-convolutional RN consumes them at that size
+            base_rn = _dc.replace(base_rn,
+                                  image_resolution=clip_cfg.image_resolution)
+            o = cfg.get("resnet_overrides")
+            if o:
+                base_rn = _dc.replace(base_rn, **{
+                    k: tuple(v) if k == "layers" else v
+                    for k, v in o.items()})
+            rn_cfg = base_rn
         self.model_cfg = mprgen.MPRGenConfig(
-            t5=t5_cfg, clip=clip_cfg,
+            t5=t5_cfg, clip=clip_cfg, resnet=rn_cfg,
             use_image_info=bool(cfg["use_image_info"]),
             use_prediction_head=bool(cfg.get("use_prediction_head")),
             use_ban=bool(cfg.get("use_BAN")),
@@ -228,8 +249,14 @@ class Experiment:
             sd = load_torch(path)
             sd = {k[len("visual_encoder."):] if k.startswith("visual_encoder.")
                   else k: v for k, v in sd.items()}
-            self.params["clip"] = convert.clip_from_openai(
-                sd, self.model_cfg.clip)
+            if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet tower
+                from multimodalpromptretrieval_tpu.models import resnet as rn
+
+                self.params["clip_rn"] = rn.resnet_from_openai(
+                    sd, self.model_cfg.resnet)
+            else:
+                self.params["clip"] = convert.clip_from_openai(
+                    sd, self.model_cfg.clip)
 
     def _build_image_cache(self) -> ImageCache:
         cache = ImageCache({})
