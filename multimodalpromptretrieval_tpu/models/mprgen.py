@@ -241,10 +241,13 @@ def combine_inputs(params: Params, cfg: MPRGenConfig, images, input_ids,
 
 
 def generative_loss(params: Params, cfg: MPRGenConfig, images, input_ids,
-                    text_mask, labels) -> jnp.ndarray:
-    """forward(batch) -> CE loss (T5VisionModel.py:219-234)."""
+                    text_mask, labels, rng=None) -> jnp.ndarray:
+    """forward(batch) -> CE loss (T5VisionModel.py:219-234). ``rng``
+    enables HF-style T5 training dropout (the reference trains with
+    model.train(), i.e. dropout 0.1 active)."""
     embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
-    return t5_loss(params["t5"], cfg.t5, embeds, mask, labels)
+    return t5_loss(params["t5"], cfg.t5, embeds, mask, labels,
+                   dropout_rng=rng)
 
 
 def generative_predict(params: Params, cfg: MPRGenConfig, images, input_ids,
@@ -361,7 +364,7 @@ def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
         return head_loss(params, cfg, images, batch["input_ids"],
                          batch["text_mask"], batch["class_labels"], rng)
     return generative_loss(params, cfg, images, batch["input_ids"],
-                           batch["text_mask"], batch["labels"])
+                           batch["text_mask"], batch["labels"], rng)
 
 
 def predict_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],

@@ -245,39 +245,68 @@ def _attention_block(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask, caus
     return dense(o, p["o"])
 
 
-def _ff_block(p: Params, cfg: T5Config, x):
+def _ff_block(p: Params, cfg: T5Config, x, rate: float = 0.0, rng=None):
     if cfg.feed_forward_proj == "gated-gelu":
         h = gelu_new(dense(x, p["wi_0"])) * dense(x, p["wi_1"])
     else:
         h = jax.nn.relu(dense(x, p["wi"]))
+    h = _dropout(h, rate, rng)  # HF T5DenseActDense: dropout after act
     return dense(h, p["wo"])
+
+
+def _dropout(x, rate: float, rng):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
 def t5_encode(
     params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None,
+    dropout_rng=None,
 ) -> jnp.ndarray:
-    """Encoder stack over raw input embeddings. attention_mask: (B, L) in {0,1}."""
+    """Encoder stack over raw input embeddings. attention_mask: (B, L) in {0,1}.
+
+    ``dropout_rng`` enables HF-style training dropout (rate
+    cfg.dropout_rate) at the T5Stack points: input embeddings, each
+    sublayer output before the residual add, the FF hidden after the
+    activation, and the final hidden state. The reference trains with HF's
+    default 0.1 active (main.py:170 ``model.train()``); eval is
+    deterministic (rng=None).
+    """
     enc = params["encoder"]
     L = inputs_embeds.shape[1]
     bias = compute_position_bias(enc["rel_bias"], L, L, bidirectional=True, cfg=cfg)
     kv_mask = None if attention_mask is None else attention_mask.astype(bool)
+    rate = cfg.dropout_rate
+    x0 = _dropout(inputs_embeds, rate, dropout_rng)
 
-    def layer(x, p):
+    def layer(carry, inp):
+        x, rng = carry
+        p = inp
+        r1 = r2 = r3 = None
+        if rng is not None:
+            rng, r1, r2, r3 = jax.random.split(rng, 4)
         h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
-        x = x + _attention_block(p["attn"], cfg, h, h, bias=bias,
-                                 kv_mask=kv_mask, causal=False)
+        x = x + _dropout(_attention_block(p["attn"], cfg, h, h, bias=bias,
+                                          kv_mask=kv_mask, causal=False),
+                         rate, r1)
         h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-        x = x + _ff_block(p["ff"], cfg, h)
-        return x, None
+        x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
+                         rate, r3)
+        return (x, rng), None
 
-    x, _ = jax.lax.scan(layer, inputs_embeds, enc["block"])
-    return rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+    (x, _), _ = jax.lax.scan(layer, (x0, dropout_rng), enc["block"])
+    x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+    return _dropout(x, rate, None if dropout_rng is None
+                    else jax.random.fold_in(dropout_rng, 1))
 
 
 def t5_decode_train(
     params: Params, cfg: T5Config, encoder_hidden: jnp.ndarray,
     encoder_mask: Optional[jnp.ndarray], decoder_input_ids: jnp.ndarray,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Teacher-forced decoder. Returns LM logits (B, T, V) in fp32.
 
@@ -287,23 +316,39 @@ def t5_decode_train(
     """
     dec = params["decoder"]
     T = decoder_input_ids.shape[1]
+    rate = cfg.dropout_rate
     x = params["shared"][decoder_input_ids]
+    x = _dropout(x, rate, None if dropout_rng is None
+                 else jax.random.fold_in(dropout_rng, 4))
     bias = compute_position_bias(dec["rel_bias"], T, T, bidirectional=False, cfg=cfg)
     enc_kv_mask = None if encoder_mask is None else encoder_mask.astype(bool)
 
-    def layer(x, p):
+    def layer(carry, inp):
+        x, rng = carry
+        p = inp
+        r1 = r2 = r3 = r4 = None
+        if rng is not None:
+            rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
         h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-        x = x + _attention_block(p["self_attn"], cfg, h, h, bias=bias,
-                                 kv_mask=None, causal=True)
+        x = x + _dropout(_attention_block(p["self_attn"], cfg, h, h,
+                                          bias=bias, kv_mask=None,
+                                          causal=True), rate, r1)
         h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
-        x = x + _attention_block(p["cross_attn"], cfg, h, encoder_hidden,
-                                 bias=None, kv_mask=enc_kv_mask, causal=False)
+        x = x + _dropout(_attention_block(p["cross_attn"], cfg, h,
+                                          encoder_hidden, bias=None,
+                                          kv_mask=enc_kv_mask,
+                                          causal=False), rate, r2)
         h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-        x = x + _ff_block(p["ff"], cfg, h)
-        return x, None
+        x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r3),
+                         rate, r4)
+        return (x, rng), None
 
-    x, _ = jax.lax.scan(layer, x, dec["block"])
+    (x, _), _ = jax.lax.scan(
+        layer, (x, None if dropout_rng is None
+                else jax.random.fold_in(dropout_rng, 2)), dec["block"])
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+    x = _dropout(x, rate, None if dropout_rng is None
+                 else jax.random.fold_in(dropout_rng, 3))
     x = x * (cfg.d_model**-0.5)  # tied-embedding output scaling
     logits = jnp.dot(x, params["shared"].T.astype(x.dtype))
     return logits.astype(jnp.float32)
@@ -320,11 +365,13 @@ def shift_right(labels: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
 def t5_loss(
     params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray], labels: jnp.ndarray,
+    dropout_rng=None,
 ) -> jnp.ndarray:
-    """Cross-entropy with -100 ignore, mean over valid tokens (HF parity)."""
-    enc = t5_encode(params, cfg, inputs_embeds, attention_mask)
+    """Cross-entropy with -100 ignore, mean over valid tokens (HF parity).
+    Pass ``dropout_rng`` during training for HF-style dropout."""
+    enc = t5_encode(params, cfg, inputs_embeds, attention_mask, dropout_rng)
     logits = t5_decode_train(params, cfg, enc, attention_mask,
-                             shift_right(labels, cfg))
+                             shift_right(labels, cfg), dropout_rng)
     valid = labels != -100
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)

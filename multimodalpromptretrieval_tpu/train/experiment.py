@@ -444,6 +444,11 @@ class Experiment:
                 self.model_path, self.params, self.opt_state)
             if opt is not None:
                 self.opt_state = opt
+            if cfg.get("further_finetune"):
+                # reference: new save path + LR reset (main.py:155-160)
+                self.model_path = os.path.join(
+                    self.model_root,
+                    self.model_prefix + "_msrc_with_retrieval_80.npz")
         scheduler = ReduceLROnPlateau(lr=hp["learning_rate"])
         if self.retrieval_index is not None:
             self.retrieval_index.is_training_phase = True
@@ -469,14 +474,32 @@ class Experiment:
                                               shuffle=True)
             train_total = 0.0
             t0 = time.time()
+            # quirk #5: the reference greedy-generates on EVERY training
+            # batch and uses the result only for pred-head train accuracy
+            # (main.py:179-183). Gate on use_prediction_head; the config
+            # key exact_train_predict restores the full behavior.
+            track_train_acc = (self.model_cfg.use_prediction_head
+                               or cfg.get("exact_train_predict"))
+            total_ans = 0
+            correct_ans = 0
             for b in batches:
                 self.rng, key = jax.random.split(self.rng)
+                if track_train_acc:
+                    preds = np.asarray(self.predict_step()(
+                        self.params, self.device_batch(b)))
+                    if self.model_cfg.use_prediction_head:
+                        labels = b.arrays["class_labels"]
+                        correct_ans += int(
+                            ((preds == labels) & b.valid).sum())
+                        total_ans += int(b.valid.sum())
                 self.params, self.opt_state, loss = step(
                     self.params, self.opt_state, self.device_batch(b),
                     jnp.float32(scheduler.lr), key)
                 parameter_updates += 1
                 train_total += float(loss) * len(b)
             n_train = sum(len(b) for b in batches)
+            if self.model_cfg.use_prediction_head and total_ans:
+                self.log(f"Train acc is: {correct_ans / total_ans}")
             self.log(f"Train loss is {train_total / max(n_train, 1)} "
                      f"({time.time() - t0:.1f}s)")
             valid_loss = self.validation_loss(val_batches)
