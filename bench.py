@@ -106,12 +106,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=512)
     p.add_argument("--seq-len", type=int, default=32)
     p.add_argument("--corpus", type=int, default=4919)  # SLAKE en train size
     p.add_argument("--k", type=int, default=1)
     p.add_argument("--decode-len", type=int, default=20)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -122,8 +122,12 @@ def main():
     import jax
 
     # persistent compile cache: the tunneled-TPU first compile is minutes;
-    # cache it across bench runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # cache it across bench runs (repo-local so it survives /tmp cleanup)
+    import os as _os
+
+    cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
