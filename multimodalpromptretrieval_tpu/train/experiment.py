@@ -172,6 +172,7 @@ class Experiment:
             num_classes=num_classes,
             max_source_length=cfg.get("max_source_length", 512),
             max_target_length=cfg.get("max_target_length", 128),
+            use_mapping=bool(cfg.get("mapping_checkpoint")),
         )
 
         self.rng, init_key = jax.random.split(self.rng)
@@ -239,6 +240,17 @@ class Experiment:
                 obj = obj["state_dict"]
             return convert.state_dict_to_numpy(obj)
 
+        if cfg.get("mapping_checkpoint") and os.path.exists(
+                cfg["mapping_checkpoint"]):
+            # reference hook (T5VisionModel.py:32-37); inert in its main
+            # path (main.py always passes None) but honored when configured
+            from multimodalpromptretrieval_tpu.train.checkpoint import (
+                load_checkpoint,
+            )
+
+            if "mapping" in self.params:
+                self.params["mapping"], _, _ = load_checkpoint(
+                    cfg["mapping_checkpoint"], self.params["mapping"])
         if cfg.get("t5_checkpoint") and os.path.exists(cfg["t5_checkpoint"]):
             sd = load_torch(cfg["t5_checkpoint"])
             self.params["t5"] = convert.t5_from_hf(sd, self.model_cfg.t5)
@@ -472,7 +484,6 @@ class Experiment:
             self.log(f"The learning rate is now {scheduler.lr}")
             batches = self.make_split_batches(self.dataset_train, "train",
                                               shuffle=True)
-            train_total = 0.0
             t0 = time.time()
             # quirk #5: the reference greedy-generates on EVERY training
             # batch and uses the result only for pred-head train accuracy
@@ -482,6 +493,7 @@ class Experiment:
                                or cfg.get("exact_train_predict"))
             total_ans = 0
             correct_ans = 0
+            epoch_losses = []
             for b in batches:
                 self.rng, key = jax.random.split(self.rng)
                 if track_train_acc:
@@ -496,7 +508,19 @@ class Experiment:
                     self.params, self.opt_state, self.device_batch(b),
                     jnp.float32(scheduler.lr), key)
                 parameter_updates += 1
-                train_total += float(loss) * len(b)
+                # keep the loss on device — a float() here would sync the
+                # host every step and stall the pipeline (the reference's
+                # loss.item() does exactly that)
+                epoch_losses.append((loss, len(b)))
+            train_total = float(sum(l * n for l, n in epoch_losses))
+            if not np.isfinite(train_total):
+                # failure detection (aux subsystem #3 — absent in the
+                # reference): a non-finite loss poisons AdamW moments; stop
+                # instead of silently training on NaNs. The best checkpoint
+                # on disk is the recovery point (--resume).
+                raise FloatingPointError(
+                    f"non-finite training loss at update "
+                    f"{parameter_updates}; resume from {self.model_path}")
             n_train = sum(len(b) for b in batches)
             if self.model_cfg.use_prediction_head and total_ans:
                 self.log(f"Train acc is: {correct_ans / total_ans}")

@@ -34,3 +34,25 @@ def get_model_prefix(cfg: Dict[str, Any]) -> str:
     if "quantifier" in cfg and not cfg["quantifier"]:
         prefix += "_no_quantifier"
     return prefix
+
+
+def cosine_similarity(a, b):
+    """Row-wise cosine similarity. API-parity note: the reference defines
+    this in utils.py:57-62 and imports it from T5VisionModel.py:7 but never
+    calls it (dead — SURVEY.md component #2); kept for drop-in users."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return num / jnp.maximum(den, 1e-12)
+
+
+def get_validation_loss(experiment, batches=None):
+    """Reference utils.py:78-87 API shim: mean validation loss via the
+    experiment's jitted eval step."""
+    if batches is None:
+        batches = experiment.make_split_batches(
+            experiment.dataset_validate, "validate")
+    return experiment.validation_loss(batches)
