@@ -58,6 +58,7 @@ class T5Config:
     dropout_rate: float = 0.1
     # TPU execution knobs (not part of HF parity):
     attention_impl: str = "xla"  # "xla" | "pallas" | "auto"
+    remat: bool = False  # jax.checkpoint each layer (activation recompute)
 
     @property
     def inner_dim(self) -> int:
@@ -297,6 +298,8 @@ def t5_encode(
                          rate, r3)
         return (x, rng), None
 
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
     (x, _), _ = jax.lax.scan(layer, (x0, dropout_rng), enc["block"])
     x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
     return _dropout(x, rate, None if dropout_rng is None
@@ -343,6 +346,8 @@ def t5_decode_train(
                          rate, r4)
         return (x, rng), None
 
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
     (x, _), _ = jax.lax.scan(
         layer, (x, None if dropout_rng is None
                 else jax.random.fold_in(dropout_rng, 2)), dec["block"])
