@@ -200,6 +200,7 @@ class Experiment:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        self._token_cache: Dict[str, Dict[str, List[int]]] = {}
 
     # ------------------------------------------------------------------------
 
@@ -369,6 +370,8 @@ class Experiment:
         table = self._hints.setdefault(split_name, {})
         for e, p in zip(dataset.entries, prompts):
             table[e["question_id"]] = p
+        # hints changed -> cached token ids for this split are stale
+        self._token_cache.pop(split_name, None)
 
     def hint_for(self, entry: dict, split_name: str) -> str:
         if self.retrieval_index is None:
@@ -380,11 +383,19 @@ class Experiment:
     def encode_entry(self, entry: dict, split_name: str) -> List[int]:
         """Task prefix + question + retrieved hint, tokenized
         (T5VisionModel.py:153-167; hint appended with no separator —
-        quirk #12)."""
-        text = (f"Answer the {entry['task']} question: "
-                + entry["question"] + self.hint_for(entry, split_name))
-        return self.tokenizer.encode(
-            text, max_length=self.model_cfg.max_source_length)
+        quirk #12). Prompts are epoch-invariant (frozen CLIP + corpus), so
+        token ids are cached across epochs — unlike the reference, which
+        re-tokenizes inside the hot loop every batch."""
+        cache = self._token_cache.setdefault(split_name, {})
+        qid = entry["question_id"]
+        ids = cache.get(qid)
+        if ids is None:
+            text = (f"Answer the {entry['task']} question: "
+                    + entry["question"] + self.hint_for(entry, split_name))
+            ids = self.tokenizer.encode(
+                text, max_length=self.model_cfg.max_source_length)
+            cache[qid] = ids
+        return ids
 
     def make_split_batches(self, dataset: VQADataset, split_name: str,
                            shuffle: bool = False) -> List[Batch]:
@@ -494,18 +505,26 @@ class Experiment:
             total_ans = 0
             correct_ans = 0
             epoch_losses = []
-            for b in batches:
+            # prefetch: ship batch i+1 to the device while step i runs —
+            # jax dispatch is async, so the transfer overlaps compute
+            device_batches = [None, None]
+            if batches:
+                device_batches[0] = self.device_batch(batches[0])
+            for i, b in enumerate(batches):
+                db = device_batches[i % 2]
+                if i + 1 < len(batches):
+                    device_batches[(i + 1) % 2] = self.device_batch(
+                        batches[i + 1])
                 self.rng, key = jax.random.split(self.rng)
                 if track_train_acc:
-                    preds = np.asarray(self.predict_step()(
-                        self.params, self.device_batch(b)))
+                    preds = np.asarray(self.predict_step()(self.params, db))
                     if self.model_cfg.use_prediction_head:
                         labels = b.arrays["class_labels"]
                         correct_ans += int(
                             ((preds == labels) & b.valid).sum())
                         total_ans += int(b.valid.sum())
                 self.params, self.opt_state, loss = step(
-                    self.params, self.opt_state, self.device_batch(b),
+                    self.params, self.opt_state, db,
                     jnp.float32(scheduler.lr), key)
                 parameter_updates += 1
                 # keep the loss on device — a float() here would sync the
