@@ -165,9 +165,13 @@ def _flash_attention(
                                      memory_space=pl.ANY if interpret else pltpu.VMEM))
         args.append(bias_f)
     if kv_mask is not None:
-        mask_f = _pad_to(kv_mask.astype(jnp.int32), 1, block_k)
-        in_specs.append(pl.BlockSpec((1, block_k), lambda bh, iq, ik: (bh // H, ik),
-                                     memory_space=pl.ANY if interpret else pltpu.VMEM))
+        # 3-D so the block's trailing two dims are (1, block_k) over an
+        # array whose second-to-last dim is exactly 1 — TPU tiling rule
+        # (last two block dims must divide (8, 128) or equal the array's)
+        mask_f = _pad_to(kv_mask.astype(jnp.int32), 1, block_k)[:, None, :]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_k), lambda bh, iq, ik: (bh // H, 0, ik),
+            memory_space=pl.ANY if interpret else pltpu.VMEM))
         args.append(mask_f)
 
     kernel = functools.partial(
