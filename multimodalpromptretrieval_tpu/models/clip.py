@@ -204,6 +204,19 @@ def clip_encode_image(params: Params, cfg: CLIPConfig,
     return clip_image_tokens(params, cfg, images)[:, 0]
 
 
+def truncate_text_ids(ids, multiple: int = 8):
+    """Drop all-padding tail columns (bucketed to ``multiple``) — output of
+    clip_encode_text is bit-identical on the shortened batch (causal + EOT
+    pooling), with ~context/len less compute."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    lengths = (ids != 0).sum(axis=1)
+    width = int(max(1, lengths.max()))
+    width = min(ids.shape[1], -(-width // multiple) * multiple)
+    return ids[:, :width]
+
+
 def clip_encode_text(params: Params, cfg: CLIPConfig,
                      token_ids: jnp.ndarray) -> jnp.ndarray:
     """Pooled text embedding (B, embed_dim) — OpenAI ``encode_text``.
@@ -212,8 +225,13 @@ def clip_encode_text(params: Params, cfg: CLIPConfig,
     pooling takes the EOT position = argmax of ids (EOT has the highest id).
     """
     t = params["text"]
+    L = token_ids.shape[1]
     x = t["token_embedding"][token_ids]
-    x = x + t["pos_embedding"].astype(x.dtype)
+    # slice the position table: inputs shorter than context_length are
+    # exactly equivalent (causal attention + EOT pooling means positions
+    # past the last real token never influence the embedding) and much
+    # cheaper — serving truncates to the longest real question
+    x = x + t["pos_embedding"][:L].astype(x.dtype)
     x = _transformer(t["blocks"], x, cfg.text_heads,
                      causal=True, attention_impl=cfg.attention_impl)
     x = layer_norm(x, t["ln_final"]["w"], t["ln_final"]["b"])

@@ -288,15 +288,24 @@ class Experiment:
 
     def _clip_embed_fn(self):
         cfg = self.model_cfg.clip
-        params = self.params["clip"]
+        from multimodalpromptretrieval_tpu.models.clip import (
+            truncate_text_ids,
+        )
 
         @jax.jit
-        def embed(images, text_ids):
+        def embed(params, images, text_ids):
             img = clip_encode_image(params, cfg, images)
             txt = clip_encode_text(params, cfg, text_ids)
             return jnp.concatenate([img, txt], axis=1)
 
-        return embed
+        def run(images, text_ids):
+            # bucketed truncation: bit-identical CLIP text embeddings at a
+            # fraction of the padded-77 cost (models/clip.truncate_text_ids)
+            ids = truncate_text_ids(text_ids)
+            return embed(self.params["clip"], jnp.asarray(images),
+                         jnp.asarray(ids))
+
+        return run
 
     def _setup_retrieval(self, train_mode: bool) -> None:
         cfg = self.cfg
@@ -324,7 +333,7 @@ class Experiment:
         cache_path = os.path.join(
             cache_dir, type(rds).__name__, "index.npz")
         self.retrieval_index = RetrievalIndex.build(
-            lambda imgs, ids: embed(jnp.asarray(imgs), jnp.asarray(ids)),
+            embed,
             rds.entries,
             lambda names: rcache.batch(names),
             lambda qs: self.clip_tokenizer.tokenize(qs),
@@ -355,7 +364,7 @@ class Experiment:
             imgs = np.stack([self.images[e["image_name"]] for e in chunk_p])
             ids = self.clip_tokenizer.tokenize(
                 [e["question"] for e in chunk_p])
-            e_ = np.asarray(embed(jnp.asarray(imgs), jnp.asarray(ids)))
+            e_ = np.asarray(embed(imgs, ids))
             out.append(e_[: len(chunk)])
         return np.concatenate(out, axis=0)
 

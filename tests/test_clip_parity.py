@@ -100,3 +100,32 @@ def test_encode_text_matches_hf(pair):
         ref = hf.get_text_features(input_ids=torch.tensor(ids)).numpy()
     got = np.asarray(jclip.clip_encode_text(params, cfg, jnp.asarray(ids)))
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_truncated_text_ids_equivalent():
+    """Causal attention + EOT pooling: dropping all-pad tail columns must
+    not change the pooled text embedding (models/clip.truncate_text_ids)."""
+    import jax
+
+    from multimodalpromptretrieval_tpu.models.clip import (
+        CLIPConfig,
+        clip_encode_text,
+        init_clip,
+        truncate_text_ids,
+    )
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.zeros((4, cfg.context_length), np.int32)
+    for i in range(4):
+        n = rng.integers(2, 6)
+        ids[i, 0] = cfg.vocab_size - 2                      # SOT
+        ids[i, 1:n] = rng.integers(1, cfg.vocab_size - 2, n - 1)
+        ids[i, n] = cfg.vocab_size - 1                      # EOT (max id)
+    full = np.asarray(clip_encode_text(params, cfg, jnp.asarray(ids)))
+    short_ids = truncate_text_ids(ids)
+    assert short_ids.shape[1] < cfg.context_length or cfg.context_length <= 8
+    short = np.asarray(clip_encode_text(params, cfg,
+                                        jnp.asarray(short_ids)))
+    np.testing.assert_allclose(short, full, rtol=1e-5, atol=1e-6)
