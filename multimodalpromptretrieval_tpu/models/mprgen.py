@@ -80,6 +80,10 @@ class MPRGenConfig:
     max_source_length: int = 512
     max_target_length: int = 128
     use_mapping: bool = False
+    # mixed precision: master params stay fp32 (AdamW moments too); the
+    # forward/backward runs in this dtype. "bfloat16" is the TPU recipe —
+    # the MXU natively consumes bf16 and HBM traffic halves.
+    compute_dtype: str = "float32"
 
     @property
     def needs_projection(self) -> bool:
@@ -352,11 +356,24 @@ def ban_predict(params, cfg, images, input_ids, text_mask):
 # ---------------------------------------------------------------------------
 
 
+def cast_compute(params: Params, cfg: MPRGenConfig) -> Params:
+    """fp32 master params -> compute-dtype copy (grads flow through the
+    cast, so the optimizer still sees fp32 gradients on fp32 masters)."""
+    if cfg.compute_dtype == "float32":
+        return params
+    dt = jnp.dtype(cfg.compute_dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params)
+
+
 def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
             rng=None):
     """batch keys: images (B,3,R,R), input_ids (B,L), text_mask (B,L),
     labels (B,T) for generative / class_labels (B,) for head variants."""
+    params = cast_compute(params, cfg)
     images = batch.get("images")
+    if images is not None and cfg.compute_dtype != "float32":
+        images = images.astype(jnp.dtype(cfg.compute_dtype))
     if cfg.use_prediction_head and cfg.use_ban:
         return ban_loss(params, cfg, images, batch["input_ids"],
                         batch["text_mask"], batch["class_labels"], rng)
@@ -370,7 +387,10 @@ def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
 def predict_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
                max_new_tokens: int = 20):
     """Generated token ids (generative) or class ids (head variants)."""
+    params = cast_compute(params, cfg)
     images = batch.get("images")
+    if images is not None and cfg.compute_dtype != "float32":
+        images = images.astype(jnp.dtype(cfg.compute_dtype))
     if cfg.use_prediction_head and cfg.use_ban:
         return ban_predict(params, cfg, images, batch["input_ids"],
                            batch["text_mask"])

@@ -173,6 +173,7 @@ class Experiment:
             max_source_length=cfg.get("max_source_length", 512),
             max_target_length=cfg.get("max_target_length", 128),
             use_mapping=bool(cfg.get("mapping_checkpoint")),
+            compute_dtype=cfg.get("compute_dtype", "float32"),
         )
 
         self.rng, init_key = jax.random.split(self.rng)

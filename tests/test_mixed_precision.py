@@ -1,0 +1,63 @@
+"""Mixed precision: bf16 compute over fp32 masters trains and predicts."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+from multimodalpromptretrieval_tpu.models.t5 import T5Config
+from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+
+def _cfg(dtype):
+    return mprgen.MPRGenConfig(
+        t5=T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
+                    num_layers=1, num_decoder_layers=1, num_heads=4),
+        clip=CLIPConfig.tiny(),
+        compute_dtype=dtype,
+    )
+
+
+def _batch(cfg, B=4):
+    rng = np.random.default_rng(0)
+    R = cfg.clip.image_resolution
+    return {
+        "images": rng.normal(size=(B, 3, R, R)).astype(np.float32),
+        "input_ids": rng.integers(2, 128, size=(B, 8)).astype(np.int32),
+        "text_mask": np.ones((B, 8), np.int32),
+        "labels": rng.integers(2, 128, size=(B, 4)).astype(np.int64),
+    }
+
+
+def test_bf16_train_step_keeps_fp32_masters():
+    cfg = _cfg("bfloat16")
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    step = pmesh.make_train_step(cfg, donate=False)
+    p2, _, loss = step(params, adamw_init(params), _batch(cfg),
+                       jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # masters stay fp32 and actually move
+    leaf = p2["t5"]["shared"]
+    assert leaf.dtype == jnp.float32
+    assert not np.allclose(np.asarray(leaf),
+                           np.asarray(params["t5"]["shared"]))
+
+
+def test_bf16_loss_close_to_fp32():
+    p32 = mprgen.init_mprgen(jax.random.PRNGKey(0), _cfg("float32"))
+    b = _batch(_cfg("float32"))
+    l32 = float(mprgen.loss_fn(p32, _cfg("float32"), b))
+    l16 = float(mprgen.loss_fn(p32, _cfg("bfloat16"), b))
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05
+
+
+def test_bf16_predict_returns_ids():
+    cfg = _cfg("bfloat16")
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    b = _batch(cfg)
+    del b["labels"]
+    out = mprgen.predict_fn(params, cfg, b, max_new_tokens=4)
+    assert out.dtype == jnp.int32 and out.shape == (4, 5)
