@@ -50,17 +50,25 @@ class ImageCache:
         if os.path.exists(path):
             with np.load(path) as z:
                 return ImageCache({k: z[k] for k in z.files})
-        names: List[str] = []
-        for e in entries:
-            if e["image_name"] not in names:
-                names.append(e["image_name"])
-        # preserve first-seen order; dedup via set for speed
+        # preserve first-seen order; dedup via set
         seen = set()
-        names = [n for n in names if not (n in seen or seen.add(n))]
-        pil = [Image.open(os.path.join(dataroot, subdir, n)) for n in names]
+        names = [e["image_name"] for e in entries
+                 if not (e["image_name"] in seen
+                         or seen.add(e["image_name"]))]
+        # threaded decode — the counterpart of the reference's
+        # DataLoader(num_workers=2) host parallelism (main.py:94-96);
+        # PIL decode releases the GIL, so threads scale
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(n):
+            with Image.open(os.path.join(dataroot, subdir, n)) as im:
+                if im.mode != "RGB":
+                    im = im.convert("RGB")
+                return im.copy()
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            pil = list(pool.map(load, names))
         arrays = preprocess_pil_images(pil, size=size)
-        for im in pil:
-            im.close()
         cache = ImageCache(dict(zip(names, arrays)))
         os.makedirs(cache_dir, exist_ok=True)
         np.savez_compressed(path, **cache.arrays)
