@@ -87,6 +87,16 @@ class Experiment:
 
         folder = cfg["datafolder"]
         self.dataset_train = load_dataset(folder, data_name, "train")
+        fewshot = cfg.get("fewshot_training_tasks") or {}
+        if fewshot.get("enabled"):
+            # In the reference this key only alters the model prefix
+            # (utils.py:31-35); the dataset.filter it pairs with
+            # (VQAFeatureDataset.py:99-111) was driven manually. Here it is
+            # wired: restrict the train split to the listed tasks, capped
+            # per task.
+            self.dataset_train.filter(
+                fewshot.get("tasks", []),
+                fewshot.get("examples_per_task", float("inf")))
         if "train_subset" in cfg:
             split = self.dataset_train.get_stratified_split(
                 split_fraction=cfg["train_subset"])
