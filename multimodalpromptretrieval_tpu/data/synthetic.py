@@ -100,6 +100,59 @@ def generate_synthetic_slake(
     return out
 
 
+def generate_synthetic_vqarad(
+    root: str, *, n_train: int = 32, n_test: int = 16,
+    image_size: int = 64, seed: int = 1,
+) -> Dict[str, List[dict]]:
+    """VQA_RAD-format mini-dataset: ``{root}/{train,test}.json`` with the
+    RAD schema (image_name, qid, question, answer, answer_type,
+    comma-separated question_type — dataset/VQA_RAD.py:29-53 parsing),
+    sharing the synthetic geometric-image generator. ``validate`` aliases
+    ``train`` through load_dataset (quirk #7)."""
+    rng = random.Random(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    from PIL import Image
+
+    out: Dict[str, List[dict]] = {}
+    qid = 0
+    img_id = 50000
+    for split, n in (("train", n_train), ("test", n_test)):
+        entries = []
+        for _ in range(n):
+            shape = rng.choice(_SHAPES)
+            color_name = rng.choice(sorted(_COLORS))
+            name = f"rad_{img_id:05d}.png"
+            img_id += 1
+            arr = _draw(shape, _COLORS[color_name], rng.randint(1, 3),
+                        image_size, rng)
+            Image.fromarray(arr).save(os.path.join(root, "imgs", name))
+            qa = [
+                ("what shape is shown in the image?", shape,
+                 "OTHER", "OPEN"),
+                (f"is there a {rng.choice(_SHAPES)} in the image?", None,
+                 # comma-separated tags fan out into one entry per task
+                 # (VQA_RAD.py:35-50), incl. a dataset-typo tag
+                 "PRES, PRSE", "CLOSED"),
+            ]
+            for question, answer, qtype, atype in qa:
+                if answer is None:
+                    asked = question.split("is there a ")[1].split(" in")[0]
+                    answer = "yes" if asked == shape else "no"
+                entries.append({
+                    "qid": qid,
+                    "image_name": name,
+                    "question": question,
+                    "answer": answer,
+                    "answer_type": atype,
+                    "question_type": qtype,
+                })
+                qid += 1
+        with open(os.path.join(root, f"{split}.json"), "w") as f:
+            json.dump(entries, f)
+        out[split] = entries
+    return out
+
+
 def synthetic_config(root: str, *, batch_size: int = 8, epochs: int = 2,
                      retrieval: bool = False, k: int = 3,
                      use_image_info: bool = True,
