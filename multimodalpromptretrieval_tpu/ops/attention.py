@@ -38,7 +38,8 @@ _NEG_INF = -1e9  # matches HF's additive mask magnitude well enough at fp32
 def _attention_xla(q, k, v, bias, kv_mask, causal, scale):
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, v_dtype(k, q)).astype(jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q,
+                        k.astype(q.dtype)).astype(jnp.float32)
     if scale != 1.0:
         scores = scores * scale
     if bias is not None:
@@ -51,10 +52,6 @@ def _attention_xla(q, k, v, bias, kv_mask, causal, scale):
         scores = jnp.where((ki <= qi)[None, None], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-
-
-def v_dtype(x, like):
-    return x.astype(like.dtype)
 
 
 # ---------------------------------------------------------------------------
