@@ -538,18 +538,30 @@ def t5_greedy_decode(
         step_pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         kv_valid = step_pos[0] <= t  # keys 0..t are populated
 
-        def layer(carry, inp):
-            x = carry
-            p, wqkv, sk, sv, bias_row, ck, cv = inp
+        bias_row = jax.lax.dynamic_slice(
+            full_bias, (0, 0, t, 0), (1, H, 1, T))  # (1, H, 1, T)
+
+        # Layers statically unrolled (decoder depth is small): the KV
+        # caches stay direct members of the while_loop carry, so XLA can
+        # prove the dynamic_update_slice chains in-place. Threading them
+        # through a lax.scan as stacked ys forces a full-cache copy per
+        # step (~2x the whole KV cache in HBM traffic each token).
+        def pick(tree, li):
+            return jax.tree.map(lambda a: a[li], tree)
+
+        for li in range(Lyrs):
+            p = pick(dec["block"], li)
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, wqkv).reshape(B, 3, H, Dk)
+            qkv = dense(h, qkv_w[li]).reshape(B, 3, H, Dk)
             q = jnp.transpose(qkv[:, 0:1], (0, 2, 1, 3))
             k_new = jnp.transpose(qkv[:, 1:2], (0, 2, 1, 3))
             v_new = jnp.transpose(qkv[:, 2:3], (0, 2, 1, 3))
-            sk = jax.lax.dynamic_update_slice(sk, k_new, (0, 0, t, 0))
-            sv = jax.lax.dynamic_update_slice(sv, v_new, (0, 0, t, 0))
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_new[None], (li, 0, 0, t, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_new[None], (li, 0, 0, t, 0))
             o = multi_head_attention(
-                q, sk, sv, bias=bias_row,
+                q, self_k[li], self_v[li], bias=bias_row,
                 kv_mask=jnp.broadcast_to(kv_valid[None], (B, T)),
                 causal=False, scale=1.0, impl="xla")
             o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
@@ -557,25 +569,16 @@ def t5_greedy_decode(
 
             h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
             q = jnp.transpose(
-                dense(h, p["cross_attn"]["q"]).reshape(B, 1, H, Dk), (0, 2, 1, 3))
-            o = multi_head_attention(q, ck, cv, bias=None, kv_mask=enc_kv_mask,
-                                     causal=False, scale=1.0, impl="xla")
+                dense(h, p["cross_attn"]["q"]).reshape(B, 1, H, Dk),
+                (0, 2, 1, 3))
+            o = multi_head_attention(q, cross_k[li], cross_v[li], bias=None,
+                                     kv_mask=enc_kv_mask, causal=False,
+                                     scale=1.0, impl="xla")
             o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
             x = x + dense(o, p["cross_attn"]["o"])
 
             h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
             x = x + _ff_block(p["ff"], cfg, h)
-            return x, (sk, sv)
-
-        bias_row = jax.lax.dynamic_slice(
-            full_bias, (0, 0, t, 0), (1, H, 1, T))  # (1, H, 1, T)
-        bias_rows = jnp.broadcast_to(bias_row[None], (Lyrs, 1, H, 1, T))
-
-        x, (self_k, self_v) = jax.lax.scan(
-            layer, x,
-            (dec["block"], qkv_w, self_k, self_v, bias_rows, cross_k,
-             cross_v),
-        )
         x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
         x = x * (cfg.d_model**-0.5)
         logits = jnp.dot(x[:, 0], params["shared"].T.astype(x.dtype))

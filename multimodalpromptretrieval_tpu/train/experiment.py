@@ -69,7 +69,14 @@ class Experiment:
         self.quiet = quiet
         self.log_root = log_root
         self.model_root = model_root
-        self.mesh = mesh if mesh is not None else pmesh.get_mesh()
+        if mesh is None:
+            # the data axis must divide the static batch size
+            bs = cfg["hyperparameters"]["batch_size"]
+            n = len(jax.devices())
+            while n > 1 and bs % n:
+                n -= 1
+            mesh = pmesh.get_mesh(n_data=n)
+        self.mesh = mesh
         self.rng = jax.random.PRNGKey(cfg.get("seed", 88))
         random.seed(cfg.get("seed", 88))
         np.random.seed(cfg.get("seed", 88))
@@ -441,6 +448,9 @@ class Experiment:
 
     def device_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
         return pmesh.shard_batch(batch.arrays, self.mesh)
+
+    def device_batch_from(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
+        return pmesh.shard_batch(arrays, self.mesh)
 
     # -- steps -----------------------------------------------------------------
 

@@ -1,0 +1,58 @@
+"""MPRServer: programmatic end-to-end answering on the synthetic dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodalpromptretrieval_tpu.data.synthetic import (
+    generate_synthetic_slake,
+    synthetic_config,
+)
+from multimodalpromptretrieval_tpu.serve import MPRServer
+from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve"))
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=16,
+                             n_validate=8, n_test=8, image_size=32, seed=0)
+    cfg = synthetic_config(root, batch_size=4, epochs=1, image_size=32,
+                           retrieval=True, k=2)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg["cache_retrieval"] = False
+    paths = dict(log_root=os.path.join(root, "logs"),
+                 model_root=os.path.join(root, "models"))
+    exp = Experiment(cfg, train_mode=True, quiet=True, **paths)
+    exp.train()
+    exp2 = Experiment(cfg, train_mode=False, quiet=True, **paths)
+    return exp2
+
+
+def test_server_answers_arbitrary_request_sizes(trained):
+    server = MPRServer(trained)
+    entries = trained.dataset_test.entries[:5]  # odd size < and > batch
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    answers = server.answer(images, questions, tasks)
+    assert len(answers) == 5
+    for a in answers:
+        assert isinstance(a, str)
+
+
+def test_server_without_retrieval(trained):
+    # hints off: server still answers (empty hint)
+    idx = trained.retrieval_index
+    trained.retrieval_index = None
+    try:
+        server = MPRServer(trained, load_checkpoint=False)
+        entries = trained.dataset_test.entries[:2]
+        images = np.stack([trained.images[e["image_name"]]
+                           for e in entries])
+        answers = server.answer(images, [e["question"] for e in entries])
+        assert len(answers) == 2
+    finally:
+        trained.retrieval_index = idx
