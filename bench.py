@@ -142,9 +142,15 @@ def main():
     # platform block_until_ready returns before execution completes, so a
     # host fetch is the only reliable sync point
     np.asarray(fn(*fargs)[0])
+    # keep one batch in flight: dispatch i+1 before fetching i so the host
+    # round-trip overlaps device compute
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = np.asarray(fn(*fargs)[0])
+    pending = fn(*fargs)
+    for _ in range(args.iters - 1):
+        nxt = fn(*fargs)
+        np.asarray(pending[0])
+        pending = nxt
+    np.asarray(pending[0])
     dt = time.perf_counter() - t0
     qa_per_sec = args.batch * args.iters / dt
     baseline = 2000.0
