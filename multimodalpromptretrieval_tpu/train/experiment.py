@@ -492,7 +492,10 @@ class Experiment:
     def train(self, resume: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         hp = cfg["hyperparameters"]
-        if resume and os.path.exists(self.model_path):
+        if resume:
+            if not os.path.exists(self.model_path):
+                raise FileNotFoundError(
+                    f"--resume: no checkpoint at {self.model_path}")
             self.params, opt, _ = ckpt.load_checkpoint(
                 self.model_path, self.params, self.opt_state)
             if opt is not None:
@@ -612,7 +615,13 @@ class Experiment:
                 "parameter_updates": parameter_updates}
 
     def test(self, load: bool = True) -> TestMetrics:
-        if load and os.path.exists(self.model_path):
+        if load:
+            if not os.path.exists(self.model_path):
+                # the reference's torch.load would raise here too
+                # (main.py:230); silently evaluating random weights is worse
+                raise FileNotFoundError(
+                    f"no checkpoint at {self.model_path}; train first or "
+                    "pass load=False")
             self.params, _, _ = ckpt.load_checkpoint(
                 self.model_path, self.params)
         mcfg = self.model_cfg
