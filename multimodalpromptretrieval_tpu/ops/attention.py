@@ -71,6 +71,7 @@ def _flash_kernel(
     """
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
+    iq = pl.program_id(1)
 
     @pl.when(ik == 0)
     def _init():
@@ -78,37 +79,47 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if scale != 1.0:
-        s = s * scale
-    if bias_ref is not None:
-        s = s + bias_ref[0].astype(jnp.float32)
-    # Key-side validity: padding mask and/or out-of-range rows of a padded-up Lk.
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = col < lk
-    if mask_ref is not None:
-        valid = jnp.logical_and(valid, mask_ref[0] != 0)
-    if causal:
-        iq = pl.program_id(1)
-        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        valid = jnp.logical_and(valid, col <= row)
-    s = jnp.where(valid, s, _NEG_INF)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        # Key-side validity: padding mask and/or padded tail rows of Lk.
+        col = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = col < lk
+        if mask_ref is not None:
+            valid = jnp.logical_and(valid, mask_ref[0] != 0)
+        if causal:
+            row = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, _NEG_INF)
 
-    m_prev = m_scr[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = m_new
+        m_prev = m_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    if causal:
+        # skip fully-future k blocks: their columns are all masked
+        @pl.when(ik * block_k <= iq * block_q + (block_q - 1))
+        def _():
+            _compute()
+    else:
+        _compute()
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -130,8 +141,11 @@ def _pad_to(x, axis, mult):
 )
 def _flash_attention(
     q, k, v, bias=None, kv_mask=None, *, causal=False, scale=1.0,
-    block_q=128, block_k=128, interpret=False,
+    block_q=512, block_k=1024, interpret=False,
 ):
+    """Defaults tuned on v5e (docs/TPU_NOTES.md): (512, 1024) blocks are
+    ~2.1x XLA at L=4096 causal; the clamps below shrink them for short
+    sequences."""
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
     block_q = min(block_q, max(8, 1 << (Lq - 1).bit_length()))
