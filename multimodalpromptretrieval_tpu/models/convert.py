@@ -287,3 +287,118 @@ def clip_from_hf(sd: Mapping[str, np.ndarray],
         },
         "logit_scale": jnp.asarray(sd["logit_scale"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Full reference-model checkpoints (the drop-in migration path)
+# ---------------------------------------------------------------------------
+
+
+def _scalar(x: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(x).reshape(()))
+
+
+def _wn_linear_from(sd, prefix):
+    """torch weight_norm(nn.Linear, dim=None): weight_g scalar, weight_v
+    (out, in) -> our {v (in, out), g scalar, b}."""
+    return {
+        "v": _t(sd[f"{prefix}.weight_v"]),
+        "g": _scalar(sd[f"{prefix}.weight_g"]),
+        "b": jnp.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _fcnet_from(sd, prefix, n_layers=1):
+    """FCNet.main Sequential: with dropout the Linear sits at odd indices
+    ([Dropout, Linear, Act?, ...]); locate Linears by key presence."""
+    layers = []
+    i = 0
+    found = 0
+    while found < n_layers and i < 16:
+        if f"{prefix}.main.{i}.weight_v" in sd:
+            layers.append(_wn_linear_from(sd, f"{prefix}.main.{i}"))
+            found += 1
+        i += 1
+    return layers
+
+
+def _bcnet_from(sd, prefix, with_hmat: bool):
+    p = {
+        "v_net": _fcnet_from(sd, f"{prefix}.v_net"),
+        "q_net": _fcnet_from(sd, f"{prefix}.q_net"),
+    }
+    if with_hmat:
+        p["h_mat"] = {"v": jnp.asarray(sd[f"{prefix}.h_mat_v"]),
+                      "g": _scalar(sd[f"{prefix}.h_mat_g"])}
+        p["h_bias"] = jnp.asarray(sd[f"{prefix}.h_bias"])
+    return p
+
+
+def mprgen_from_reference_checkpoint(sd: Mapping[str, np.ndarray], cfg
+                                     ) -> Dict[str, Any]:
+    """Convert a saved reference model (torch.save of the full
+    T5VisionModel* state_dict — main.py:199-206 checkpoints) into this
+    framework's params pytree, for drop-in migration of trained models.
+
+    cfg: models.mprgen.MPRGenConfig matching the checkpoint's variant.
+    Handles: vision_model.* (OpenAI CLIP or ModifiedResNet layout),
+    T5_model.* (HF T5; tied lm_head/embed_tokens copies ignored),
+    projection.* (t5-large ViT proj or RN grid proj), mapping.*,
+    prediction_head.*, BAN_att.* / BAN_resnet.* (weight-normed).
+    """
+    sd = dict(sd)
+    params: Dict[str, Any] = {}
+
+    t5_sd = {k[len("T5_model."):]: v for k, v in sd.items()
+             if k.startswith("T5_model.")}
+    params["t5"] = t5_from_hf(t5_sd, cfg.t5)
+
+    clip_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+               if k.startswith("vision_model.")}
+    if "visual.layer1.0.conv1.weight" in clip_sd:
+        from multimodalpromptretrieval_tpu.models import resnet as rn
+
+        params["clip_rn"] = rn.resnet_from_openai(clip_sd, cfg.resnet)
+        # the text tower still ships inside the checkpoint; keep a random
+        # ViT init for the retrieval-query path (quirk #2: retrieval uses
+        # the dataset's own stock ViT, not this checkpoint)
+        import jax
+
+        from multimodalpromptretrieval_tpu.models.clip import init_clip
+
+        params["clip"] = init_clip(jax.random.PRNGKey(0), cfg.clip)
+    else:
+        params["clip"] = clip_from_openai(clip_sd, cfg.clip)
+
+    if "projection.weight" in sd:
+        proj = {"w": _t(sd["projection.weight"]),
+                "b": jnp.asarray(sd["projection.bias"])}
+        if cfg.resnet is not None:
+            params["rn_proj"] = proj
+        else:
+            params["proj"] = proj
+    if "mapping.linear_relu_stack.0.weight" in sd:
+        params["mapping"] = {
+            "fc1": {"w": _t(sd["mapping.linear_relu_stack.0.weight"]),
+                    "b": jnp.asarray(sd["mapping.linear_relu_stack.0.bias"])},
+            "fc2": {"w": _t(sd["mapping.linear_relu_stack.2.weight"]),
+                    "b": jnp.asarray(sd["mapping.linear_relu_stack.2.bias"])},
+            "logit_scale": _scalar(sd["mapping.logit_scale"]),
+        }
+    if "prediction_head.weight" in sd:
+        params["head"] = {"w": _t(sd["prediction_head.weight"]),
+                          "b": jnp.asarray(sd["prediction_head.bias"])}
+    if "BAN_att.logits.h_mat_v" in sd:
+        glimpse = sd["BAN_att.logits.h_mat_v"].shape[1]
+        params["ban"] = {
+            "att": {"logits": _bcnet_from(sd, "BAN_att.logits", True)},
+            "res": {
+                "b_net": [
+                    _bcnet_from(sd, f"BAN_resnet.b_net.{g}", False)
+                    for g in range(glimpse)],
+                "q_prj": [
+                    _fcnet_from(sd, f"BAN_resnet.q_prj.{g}")
+                    for g in range(glimpse)],
+            },
+        }
+    return params
