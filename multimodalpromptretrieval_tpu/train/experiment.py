@@ -255,10 +255,21 @@ class Experiment:
             import torch
 
             obj = torch.load(path, map_location="cpu", weights_only=False)
-            if isinstance(obj, dict) and "state_dict" in obj:
-                obj = obj["state_dict"]
+            if isinstance(obj, dict) and "model_state_dict" in obj:
+                obj = obj["model_state_dict"]  # reference main.py:199-206
+            elif isinstance(obj, dict) and "state_dict" in obj:
+                obj = obj["state_dict"]  # PubMedCLIP layout
             return convert.state_dict_to_numpy(obj)
 
+        if cfg.get("reference_checkpoint") and os.path.exists(
+                cfg["reference_checkpoint"]):
+            # migrate a trained reference model (torch.save of the full
+            # T5VisionModel* state_dict) into this framework wholesale
+            sd = load_torch(cfg["reference_checkpoint"])
+            converted = convert.mprgen_from_reference_checkpoint(
+                sd, self.model_cfg)
+            self.params.update(converted)
+            return
         if cfg.get("mapping_checkpoint") and os.path.exists(
                 cfg["mapping_checkpoint"]):
             # reference hook (T5VisionModel.py:32-37); inert in its main
