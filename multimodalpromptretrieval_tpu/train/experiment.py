@@ -647,8 +647,15 @@ class Experiment:
         batches = self.make_split_batches(self.dataset_test, "test")
         do_retrieval_diag = (self.retrieval_index is not None
                              and not mcfg.use_prediction_head)
-        for b in batches:
-            preds = np.asarray(step(self.params, self.device_batch(b)))
+        # one batch in flight: dispatch i+1 before materializing i (the
+        # host-side decode/metrics work overlaps device compute)
+        pending = [step(self.params, self.device_batch(b)) for b in
+                   batches[:1]]
+        for i, b in enumerate(batches):
+            if i + 1 < len(batches):
+                pending.append(step(self.params,
+                                    self.device_batch(batches[i + 1])))
+            preds = np.asarray(pending.pop(0))
             if do_retrieval_diag:
                 rows = np.stack([test_q[qpos[e["question_id"]]]
                                  for e in b.entries])
