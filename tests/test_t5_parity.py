@@ -136,3 +136,29 @@ def test_gradients_flow():
     flat = jax.tree.leaves(norms)
     assert all(np.isfinite(flat))
     assert sum(flat) > 0
+
+
+def test_gated_gelu_ff_matches_hf():
+    """T5 v1.1 gated-gelu FF path (feed_forward_proj='gated-gelu')."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    torch.manual_seed(3)
+    hf = T5ForConditionalGeneration(HFT5Config(
+        vocab_size=VOCAB, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, dropout_rate=0.0,
+        decoder_start_token_id=0, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=True)).eval()
+    import dataclasses
+
+    cfg = dataclasses.replace(jt5.T5Config.tiny(vocab_size=VOCAB),
+                              feed_forward_proj="gated-gelu")
+    params = t5_from_hf(state_dict_to_numpy(hf.state_dict()), cfg)
+    embeds, mask, labels = _random_batch(9)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.tensor(embeds),
+                 attention_mask=torch.tensor(mask),
+                 labels=torch.tensor(labels)).loss.item()
+    got = float(jt5.t5_loss(params, cfg, jnp.asarray(embeds),
+                            jnp.asarray(mask), jnp.asarray(labels)))
+    assert got == pytest.approx(ref, rel=1e-5)
