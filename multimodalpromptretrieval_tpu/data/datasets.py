@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 import random
-from difflib import SequenceMatcher
 from typing import Dict, List, Optional, Sequence
 
 VQA_RAD_QTYPE_MAP = {

@@ -34,7 +34,7 @@ Reference-behavior notes (each deliberate — see SURVEY.md §Quirks):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +47,6 @@ from multimodalpromptretrieval_tpu.models.clip import (
 from multimodalpromptretrieval_tpu.models.t5 import (
     T5Config,
     init_t5,
-    shift_right,
-    t5_decode_train,
     t5_encode,
     t5_greedy_decode,
     t5_loss,

@@ -28,7 +28,7 @@ Layers are stored stacked on a leading axis and executed with ``lax.scan``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,11 +12,9 @@ text lengths (data/batching.py) so jit never retraces in the hot loop.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalpromptretrieval_tpu.models import mprgen

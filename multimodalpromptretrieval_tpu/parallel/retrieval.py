@@ -10,13 +10,12 @@ the single-device kernel: distances ascending, ties to the lower corpus row.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimodalpromptretrieval_tpu.ops.topk import _l2_topk_xla, l2_topk
+from multimodalpromptretrieval_tpu.ops.topk import _l2_topk_xla
 
 _BIG = jnp.float32(3.4e38)
 

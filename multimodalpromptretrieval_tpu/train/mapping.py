@@ -15,7 +15,7 @@ features, a top-k retrieval eval, and a 2-D PCA scatter of both modalities
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
