@@ -17,7 +17,7 @@ a ``valid`` mask so every step sees identical shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -72,6 +72,7 @@ def make_batches(
     image_fn=None,
     label_fn=None,
     target_fn=None,
+    array_fns: Optional[Dict[str, Any]] = None,
     shuffle_rng: Optional[np.random.Generator] = None,
     bucket_multiple: int = 32,
     max_source_length: int = 512,
@@ -101,6 +102,8 @@ def make_batches(
             "input_ids": ids, "text_mask": mask}
         if image_fn is not None:
             arrays["images"] = image_fn(chunk)
+        for name, fn in (array_fns or {}).items():
+            arrays[name] = fn(chunk)
         if target_fn is not None:
             target_rows = [target_fn(e) for e in chunk]
             twidth = bucket_width(max(len(r) for r in target_rows),

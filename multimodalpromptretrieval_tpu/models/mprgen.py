@@ -261,6 +261,25 @@ def generative_predict(params: Params, cfg: MPRGenConfig, images, input_ids,
                             max_new_tokens=max_new_tokens)
 
 
+def generative_predict_from_prefix(params: Params, cfg: MPRGenConfig,
+                                   prefix, input_ids, text_mask,
+                                   max_new_tokens: int = 20) -> jnp.ndarray:
+    """predict with a precomputed visual prefix (B, P, d_model).
+
+    The vision tower is frozen, so per-image prefixes are loop-invariant;
+    SLAKE attaches ~3 questions to each image — caching prefixes removes
+    ~2/3 of the dominant ViT cost from real eval/serve workloads (the
+    reference recomputes CLIP per QA pair, main.py:263)."""
+    q_emb = params["t5"]["shared"][input_ids]
+    B, P, _ = prefix.shape
+    embeds = jnp.concatenate([prefix.astype(q_emb.dtype), q_emb], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, P), text_mask.dtype), text_mask], axis=1)
+    enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
+    return t5_greedy_decode(params["t5"], cfg.t5, enc, mask,
+                            max_new_tokens=max_new_tokens)
+
+
 # ---------------------------------------------------------------------------
 # Prediction-head variant
 # ---------------------------------------------------------------------------

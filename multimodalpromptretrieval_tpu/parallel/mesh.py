@@ -108,3 +108,41 @@ def make_predict_step(cfg: mprgen.MPRGenConfig, *, max_new_tokens: int = 20,
         kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)
+
+
+def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
+                             max_new_tokens: int = 20,
+                             mesh: Optional[Mesh] = None):
+    """Generative predict over precomputed visual prefixes (batch keys:
+    prefix, input_ids, text_mask)."""
+
+    def step(params, batch):
+        params = mprgen.cast_compute(params, cfg)
+        return mprgen.generative_predict_from_prefix(
+            params, cfg, batch["prefix"], batch["input_ids"],
+            batch["text_mask"], max_new_tokens)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = batch_sharding(mesh)
+    return jax.jit(step, **kwargs)
+
+
+def make_image_prefix_step(cfg: mprgen.MPRGenConfig, *,
+                           mesh: Optional[Mesh] = None):
+    """fn(params, images) -> (B, P, d_model) visual prefixes."""
+
+    def step(params, images):
+        params = mprgen.cast_compute(params, cfg)
+        if cfg.compute_dtype != "float32":
+            import jax.numpy as jnp
+
+            images = images.astype(jnp.dtype(cfg.compute_dtype))
+        return mprgen.image_prefix(params, cfg, images)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = batch_sharding(mesh)
+    return jax.jit(step, **kwargs)

@@ -435,8 +435,30 @@ class Experiment:
             cache[qid] = ids
         return ids
 
+    def compute_image_prefixes(self, entries) -> Dict[str, np.ndarray]:
+        """Visual prefix per unique image (frozen tower ⇒ loop-invariant;
+        SLAKE averages ~3 questions per image, so eval recomputes ~1/3 of
+        the ViT work the reference does)."""
+        seen = set()
+        names = [e["image_name"] for e in entries
+                 if not (e["image_name"] in seen or seen.add(e["image_name"]))]
+        step = pmesh.make_image_prefix_step(self.model_cfg, mesh=self.mesh)
+        B = self.batch_size
+        table: Dict[str, np.ndarray] = {}
+        for s in range(0, len(names), B):
+            chunk = names[s:s + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            imgs = self.device_batch_from(
+                {"x": np.stack([self.images[n] for n in padded])})["x"]
+            out = np.asarray(step(self.params, imgs))
+            for j, n in enumerate(chunk):
+                table[n] = out[j]
+        return table
+
     def make_split_batches(self, dataset: VQADataset, split_name: str,
-                           shuffle: bool = False) -> List[Batch]:
+                           shuffle: bool = False,
+                           prefix_table: Optional[Dict[str, np.ndarray]]
+                           = None) -> List[Batch]:
         needs_labels = not self.model_cfg.use_prediction_head
         rng = np.random.default_rng(
             abs(hash((split_name, int(self.cfg.get("seed", 88)))))
@@ -444,9 +466,13 @@ class Experiment:
         return make_batches(
             dataset.entries, self.batch_size,
             encode_fn=lambda e: self.encode_entry(e, split_name),
+            array_fns={"prefix": lambda es: np.stack(
+                [prefix_table[e["image_name"]] for e in es])}
+            if prefix_table is not None else None,
             image_fn=(lambda es: np.stack(
                 [self.images[e["image_name"]] for e in es]))
-            if (self.model_cfg.use_image_info or self.model_cfg.use_ban)
+            if (prefix_table is None
+                and (self.model_cfg.use_image_info or self.model_cfg.use_ban))
             else None,
             target_fn=(lambda e: self.tokenizer.encode(
                 e["answer"], max_length=self.model_cfg.max_target_length))
@@ -643,8 +669,18 @@ class Experiment:
             qpos = {e["question_id"]: i
                     for i, e in enumerate(self.dataset_test.entries)}
         metrics = TestMetrics(retrieval_k=self.k)
-        step = self.predict_step()
-        batches = self.make_split_batches(self.dataset_test, "test")
+        use_prefix_cache = (not mcfg.use_prediction_head
+                            and mcfg.use_image_info
+                            and self.cfg.get("cache_image_prefix", True))
+        if use_prefix_cache:
+            prefix_table = self.compute_image_prefixes(
+                self.dataset_test.entries)
+            step = pmesh.make_prefix_predict_step(mcfg, mesh=self.mesh)
+            batches = self.make_split_batches(self.dataset_test, "test",
+                                              prefix_table=prefix_table)
+        else:
+            step = self.predict_step()
+            batches = self.make_split_batches(self.dataset_test, "test")
         do_retrieval_diag = (self.retrieval_index is not None
                              and not mcfg.use_prediction_head)
         # one batch in flight: dispatch i+1 before materializing i (the
@@ -664,19 +700,19 @@ class Experiment:
                 r_types = self.retrieval_index.retrieve(
                     jnp.asarray(rows), return_info=["question_type"],
                     k=self.k)
-            for i, entry in enumerate(b.entries):
-                if not b.valid[i]:
+            for j, entry in enumerate(b.entries):
+                if not b.valid[j]:
                     continue
                 if mcfg.use_prediction_head:
-                    metrics.add_classification(int(preds[i]), entry)
+                    metrics.add_classification(int(preds[j]), entry)
                     continue
-                answer = self.tokenizer.decode(preds[i],
+                answer = self.tokenizer.decode(preds[j],
                                                skip_special_tokens=True)
                 closest = self.dataset_test.get_closest_label(answer.lower())
                 metrics.add_generative(answer, entry, closest)
                 if do_retrieval_diag:
                     metrics.add_retrieval_diagnostics(
-                        answer, entry, r_ans[i], r_types[i])
+                        answer, entry, r_ans[j], r_types[j])
         self.log(metrics.report())
         metrics.write_artifacts(self.log_root, self.model_prefix)
         return metrics
