@@ -143,3 +143,21 @@ def test_resume_continues_from_checkpoint(synth_root, tmp_path):
                      quiet=True)
     res = exp.train(resume=True)
     assert np.isfinite(res["best_valid_loss"])
+
+
+def test_prefix_cache_matches_direct_path(synth_root, tmp_path):
+    """Eval with cached image prefixes must produce identical answers to
+    recomputing the vision tower per QA pair."""
+    cfg = _cfg(synth_root)
+    out1 = _run(cfg, str(tmp_path))  # cache_image_prefix defaults on
+    cfg2 = dict(cfg)
+    cfg2["cache_image_prefix"] = False
+    exp = Experiment(cfg2, train_mode=False,
+                     log_root=os.path.join(str(tmp_path), "logs2"),
+                     model_root=os.path.join(str(tmp_path), "models"),
+                     quiet=True)
+    m2 = exp.test()
+    m1 = out1["test"]
+    assert m1.correct_ids == m2.correct_ids
+    assert m1.incorrect_ids == m2.incorrect_ids
+    assert m1.overall == m2.overall
