@@ -156,3 +156,29 @@ def test_clip_truncate():
     arr = tok.tokenize(["a very long question that exceeds the context"])
     assert arr.shape == (1, 8)
     assert arr[0, -1] == tok.eot
+
+
+def test_empty_and_whitespace_inputs():
+    tok = _toy()
+    assert tok.encode("", add_eos=False) == []
+    assert tok.encode("") == [tok.eos_id]
+    ids = tok.encode("   ")  # collapses to the bare dummy prefix
+    assert ids[-1] == tok.eos_id
+    assert tok.decode(ids) == ""
+    ids2, mask2 = tok.batch_encode(["", "the"], max_length=8)
+    assert mask2[0].sum() >= 1  # at least the EOS survives
+
+
+def test_batch_encode_fixed_width():
+    tok = _toy()
+    ids, mask = tok.batch_encode(["the lung", "x"], max_length=16, pad_to=10)
+    assert ids.shape == (2, 10) and mask.shape == (2, 10)
+
+
+def test_clip_tokenize_empty_string():
+    from multimodalpromptretrieval_tpu.text.clip_bpe import CLIPBPETokenizer
+
+    t = CLIPBPETokenizer.build_toy(context_length=8)
+    out = t.tokenize([""])
+    assert out.shape == (1, 8)
+    assert out[0, 0] == t.sot and out[0, 1] == t.eot
