@@ -81,7 +81,8 @@ class Experiment:
         random.seed(cfg.get("seed", 88))
         np.random.seed(cfg.get("seed", 88))
 
-        self.model_prefix = (model_file[:-4] if model_file
+        # splitext, not a fixed [:-3]/-4 slice: users may pass .pt or .npz
+        self.model_prefix = (os.path.splitext(model_file)[0] if model_file
                              else get_model_prefix(cfg))
         self.model_path = (model_file if model_file else os.path.join(
             model_root, self.model_prefix + ".npz"))
