@@ -45,9 +45,14 @@ def build(preset: str, dtype_name: str, batch: int, seq_len: int,
     )
     from multimodalpromptretrieval_tpu.ops.topk import l2_topk
 
+    import dataclasses
+
     if preset == "full":
         t5 = T5Config.t5_small()
-        clip = CLIPConfig.vit_b32()
+        # "row": 2-D-flattened tower + row-layout Pallas attention — ~22%
+        # faster ViT on TPU, fp32-identical (tests/test_clip_parity.py)
+        clip = dataclasses.replace(CLIPConfig.vit_b32(),
+                                   attention_impl="row")
     else:
         t5 = T5Config(vocab_size=4096, d_model=128, d_kv=32, d_ff=256,
                       num_layers=2, num_decoder_layers=2, num_heads=4)

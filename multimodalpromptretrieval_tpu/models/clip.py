@@ -147,6 +147,36 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
     B, L, W = x.shape
     Dh = W // heads
 
+    if attention_impl == "row" and not causal:
+        # TPU fast path (docs/TPU_NOTES.md trace findings): flatten to
+        # (B·L, W) so every dense is ONE large MXU GEMM — under lax.scan a
+        # (B, L, W) @ (W, ·) dot compiles to B tiny batched GEMMs at ~6%
+        # peak — and run attention through the row-layout Pallas kernel
+        # (no head transposes / HBM score tensors). Layers are unrolled:
+        # scan's dynamically-sliced weights force the windowed GEMM
+        # emitter. ~22% faster ViT tower at B=512; identical math.
+        from multimodalpromptretrieval_tpu.ops.row_attention import (
+            row_attention,
+        )
+
+        interpret = jax.default_backend() == "cpu"
+        n_layers = jax.tree.leaves(blocks)[0].shape[0]
+        x = x.reshape(B * L, W)
+        for li in range(n_layers):
+            p = jax.tree.map(lambda a: a[li], blocks)
+            h = layer_norm(x, p["ln_1"]["w"], p["ln_1"]["b"])
+            qkv = dense(h, p["attn"]["wqkv"], p["attn"]["bqkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o = row_attention(
+                q.reshape(B, L, W), k.reshape(B, L, W), v.reshape(B, L, W),
+                heads=heads, scale=Dh**-0.5,
+                interpret=interpret).reshape(B * L, W)
+            x = x + dense(o, p["attn"]["out"], p["attn"]["out_b"])
+            h = layer_norm(x, p["ln_2"]["w"], p["ln_2"]["b"])
+            h = quick_gelu(dense(h, p["mlp"]["fc"], p["mlp"]["fc_b"]))
+            x = x + dense(h, p["mlp"]["proj"], p["mlp"]["proj_b"])
+        return x.reshape(B, L, W)
+
     def block(x, p):
         h = layer_norm(x, p["ln_1"]["w"], p["ln_1"]["b"])
         qkv = dense(h, p["attn"]["wqkv"], p["attn"]["bqkv"])
@@ -155,7 +185,8 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
             y.reshape(B, L, heads, Dh), (0, 2, 1, 3))
         o = multi_head_attention(
             split(q), split(k), split(v), causal=causal,
-            scale=Dh**-0.5, impl=attention_impl)
+            scale=Dh**-0.5,
+            impl="xla" if attention_impl == "row" else attention_impl)
         o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, L, W)
         x = x + dense(o, p["attn"]["out"], p["attn"]["out_b"])
         h = layer_norm(x, p["ln_2"]["w"], p["ln_2"]["b"])

@@ -212,8 +212,13 @@ def image_prefix(params: Params, cfg: MPRGenConfig,
         )
 
         grid = resnet_grid_features(params["clip_rn"], cfg.resnet, images)
+        # the vision tower is ALWAYS frozen (T5VisionModel.py:29-30);
+        # stop_gradient prunes its entire backward pass from the train step
+        # (the optimizer mask would discard those grads anyway)
+        grid = jax.lax.stop_gradient(grid)
         return dense(grid, params["rn_proj"]["w"], params["rn_proj"]["b"])
     tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+    tokens = jax.lax.stop_gradient(tokens)  # frozen tower (see above)
     if cfg.use_mapping and "mapping" in params:
         tokens = mapping_apply(params["mapping"], tokens)
     if cfg.needs_projection:

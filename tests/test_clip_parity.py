@@ -129,3 +129,28 @@ def test_truncated_text_ids_equivalent():
     short = np.asarray(clip_encode_text(params, cfg,
                                         jnp.asarray(short_ids)))
     np.testing.assert_allclose(short, full, rtol=1e-5, atol=1e-6)
+
+
+def test_row_attention_impl_matches_xla_tower():
+    """attention_impl='row' (2-D flattened + row-layout kernel) must match
+    the default tower bit-for-fp32."""
+    import dataclasses
+
+    import jax
+
+    from multimodalpromptretrieval_tpu.models.clip import (
+        CLIPConfig,
+        clip_image_tokens,
+        init_clip,
+    )
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(
+        size=(3, 3, cfg.image_resolution, cfg.image_resolution)).astype(
+        np.float32))
+    ref = np.asarray(clip_image_tokens(params, cfg, imgs))
+    cfg_row = dataclasses.replace(cfg, attention_impl="row")
+    got = np.asarray(clip_image_tokens(params, cfg_row, imgs))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
