@@ -42,10 +42,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, H: int, Dh: int, scale: float):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def row_attention(q, k, v, *, heads: int, scale: float,
-                  interpret: bool = False):
-    """q, k, v, result: (B, L, W) with W = heads · head_dim. L ≤ ~256."""
+def _forward(q, k, v, heads: int, scale: float, interpret: bool):
     B, L, W = q.shape
     Dh = W // heads
     kern = functools.partial(_kernel, H=heads, Dh=Dh, scale=scale)
@@ -59,3 +56,50 @@ def row_attention(q, k, v, *, heads: int, scale: float,
         out_shape=jax.ShapeDtypeStruct((B, L, W), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _row_attention(q, k, v, heads, scale, interpret):
+    return _forward(q, k, v, heads, scale, interpret)
+
+
+def _row_fwd(q, k, v, heads, scale, interpret):
+    return _forward(q, k, v, heads, scale, interpret), (q, k, v)
+
+
+def _row_bwd(heads, scale, interpret, res, g):
+    """Standard attention backward, recomputed per head in XLA (the kernel
+    is an inference fast path; training through it is rare, so we trade
+    backward speed for zero saved-score memory)."""
+    q, k, v = res
+    B, L, W = q.shape
+    Dh = W // heads
+
+    def heads_of(x):
+        return jnp.transpose(x.reshape(B, L, heads, Dh), (0, 2, 1, 3))
+
+    qh, kh, vh, gh = map(heads_of, (q, k, v, g))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p.astype(gh.dtype), gh)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gh, vh).astype(jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    ds = ds.astype(qh.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kh)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh)
+
+    def merge(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, L, W)
+
+    return merge(dq), merge(dk), merge(dv)
+
+
+_row_attention.defvjp(_row_fwd, _row_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def row_attention(q, k, v, *, heads: int, scale: float,
+                  interpret: bool = False):
+    """q, k, v, result: (B, L, W) with W = heads · head_dim. L ≤ ~256.
+    Differentiable (custom VJP recomputes the standard backward)."""
+    return _row_attention(q, k, v, heads, scale, interpret)
