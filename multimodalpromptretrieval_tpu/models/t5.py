@@ -283,6 +283,46 @@ def t5_encode(
     rate = cfg.dropout_rate
     x0 = _dropout(inputs_embeds, rate, dropout_rng)
 
+    if cfg.attention_impl == "row":
+        # TPU fast path (see models/clip._transformer and docs/TPU_NOTES.md):
+        # unrolled layers + (B·L, D) activations so every dense is one large
+        # MXU GEMM (scan's dynamic weight slices force a windowed batched
+        # emitter at ~6% peak), attention in the row-layout Pallas kernel
+        # with the relative-position bias resident in VMEM. Differentiable
+        # (row_attention has a custom VJP); math identical to the scan path.
+        from multimodalpromptretrieval_tpu.ops.row_attention import (
+            row_attention,
+        )
+
+        B = inputs_embeds.shape[0]
+        D = cfg.d_model
+        interpret = jax.default_backend() == "cpu"
+        n_layers = cfg.num_layers
+        x = x0.reshape(B * L, D)
+        bias_h = bias[0]  # (H, L, L)
+        mask = None if attention_mask is None else attention_mask
+        rng = dropout_rng
+        for li in range(n_layers):
+            p = jax.tree.map(lambda a: a[li], enc["block"])
+            r1 = r2 = r3 = None
+            if rng is not None:
+                rng, r1, r2, r3 = jax.random.split(rng, 4)
+            h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
+            q = dense(h, p["attn"]["q"]).reshape(B, L, cfg.inner_dim)
+            k = dense(h, p["attn"]["k"]).reshape(B, L, cfg.inner_dim)
+            v = dense(h, p["attn"]["v"]).reshape(B, L, cfg.inner_dim)
+            o = row_attention(q, k, v, bias_h, mask, heads=cfg.num_heads,
+                              scale=1.0, interpret=interpret)
+            o = dense(o.reshape(B * L, cfg.inner_dim), p["attn"]["o"])
+            x = x + _dropout(o, rate, r1)
+            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+            x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
+                             rate, r3)
+        x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+        x = _dropout(x, rate, None if dropout_rng is None
+                     else jax.random.fold_in(dropout_rng, 1))
+        return x.reshape(B, L, D)
+
     def layer(carry, inp):
         x, rng = carry
         p = inp

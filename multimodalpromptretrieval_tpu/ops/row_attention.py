@@ -12,7 +12,11 @@ consume): per grid step one image's q/k/v rows land in VMEM, each head is
 a static 64-lane column slice, scores/softmax never touch HBM, and the
 output rows drop straight into the out-projection with clean fusions.
 
-Exact same math as the XLA path (fp32 scores, exact softmax).
+Supports the features the towers need: optional additive bias (H, L, L)
+— T5's relative position bias, shared across the batch and VMEM-resident —
+and an optional per-row key validity mask (B, L). Exact same math as the
+XLA path (fp32 scores, exact softmax), differentiable via a custom VJP
+that recomputes the standard attention backward.
 """
 
 from __future__ import annotations
@@ -24,54 +28,89 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, H: int, Dh: int, scale: float):
-    q = q_ref[0]  # (L, W) rows, W = H * Dh
-    k = k_ref[0]
-    v = v_ref[0]
-    for h in range(H):
-        sl = slice(h * Dh, (h + 1) * Dh)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+_NEG_INF = -1e9
 
 
-def _forward(q, k, v, heads: int, scale: float, interpret: bool):
+def _make_kernel(H, Dh, scale, has_bias, has_mask):
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        i = 3
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        mask_ref = refs[i] if has_mask else None
+        i += 1 if has_mask else 0
+        o_ref = refs[i]
+
+        q = q_ref[0]  # (L, W) rows, W = H * Dh
+        k = k_ref[0]
+        v = v_ref[0]
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            if bias_ref is not None:
+                s = s + bias_ref[h].astype(jnp.float32)
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0, :, sl] = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _forward(q, k, v, bias, kv_mask, heads: int, scale: float,
+             interpret: bool):
     B, L, W = q.shape
     Dh = W // heads
-    kern = functools.partial(_kernel, H=heads, Dh=Dh, scale=scale)
-    spec = pl.BlockSpec((1, L, W), lambda b: (b, 0, 0),
-                        memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kern = _make_kernel(heads, Dh, scale, bias is not None,
+                        kv_mask is not None)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    spec = pl.BlockSpec((1, L, W), lambda b: (b, 0, 0), memory_space=mem)
+    in_specs = [spec, spec, spec]
+    args = [q, k, v]
+    if bias is not None:
+        # (H, L, L) — batch-invariant, resident across grid steps
+        in_specs.append(pl.BlockSpec((heads, L, L), lambda b: (0, 0, 0),
+                                     memory_space=mem))
+        args.append(bias)
+    if kv_mask is not None:
+        # (B, 1, L): block trailing dims (1, L) match the array's
+        in_specs.append(pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
+                                     memory_space=mem))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
     return pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=[spec] * 3,
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, L, W), q.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _row_attention(q, k, v, heads, scale, interpret):
-    return _forward(q, k, v, heads, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _row_attention(q, k, v, bias, kv_mask, heads, scale, interpret):
+    return _forward(q, k, v, bias, kv_mask, heads, scale, interpret)
 
 
-def _row_fwd(q, k, v, heads, scale, interpret):
-    return _forward(q, k, v, heads, scale, interpret), (q, k, v)
+def _row_fwd(q, k, v, bias, kv_mask, heads, scale, interpret):
+    out = _forward(q, k, v, bias, kv_mask, heads, scale, interpret)
+    return out, (q, k, v, bias, kv_mask)
 
 
 def _row_bwd(heads, scale, interpret, res, g):
     """Standard attention backward, recomputed per head in XLA (the kernel
-    is an inference fast path; training through it is rare, so we trade
-    backward speed for zero saved-score memory)."""
-    q, k, v = res
+    is an inference fast path; training recomputes scores — zero saved
+    memory, grads exact)."""
+    q, k, v, bias, kv_mask = res
     B, L, W = q.shape
     Dh = W // heads
 
@@ -79,27 +118,37 @@ def _row_bwd(heads, scale, interpret, res, g):
         return jnp.transpose(x.reshape(B, L, heads, Dh), (0, 2, 1, 3))
 
     qh, kh, vh, gh = map(heads_of, (q, k, v, g))
-    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :] != 0, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p.astype(gh.dtype), gh)
     dp = jnp.einsum("bhqd,bhkd->bhqk", gh, vh).astype(jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-    ds = ds.astype(qh.dtype)
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kh)
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    d_bias = (jnp.sum(ds, axis=0).astype(bias.dtype)
+              if bias is not None else None)
+    ds_scaled = (ds * scale).astype(qh.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds_scaled, kh)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds_scaled, qh)
 
     def merge(x):
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, L, W)
 
-    return merge(dq), merge(dk), merge(dv)
+    return merge(dq), merge(dk), merge(dv), d_bias, None
 
 
 _row_attention.defvjp(_row_fwd, _row_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def row_attention(q, k, v, *, heads: int, scale: float,
-                  interpret: bool = False):
-    """q, k, v, result: (B, L, W) with W = heads · head_dim. L ≤ ~256.
-    Differentiable (custom VJP recomputes the standard backward)."""
-    return _row_attention(q, k, v, heads, scale, interpret)
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret"))
+def row_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
+                  scale: float, interpret: bool = False):
+    """q, k, v, result: (B, L, W) with W = heads · head_dim; L ≤ ~256.
+    bias: optional (heads, L, L) additive scores; kv_mask: optional (B, L)
+    key validity. Differentiable (custom VJP)."""
+    return _row_attention(q, k, v, bias, kv_mask, heads, scale, interpret)
