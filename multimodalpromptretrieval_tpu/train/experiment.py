@@ -25,6 +25,7 @@ import json
 import os
 import random
 import time
+import zlib
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -219,7 +220,7 @@ class Experiment:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
-        self._token_cache: Dict[str, Dict[str, List[int]]] = {}
+        self._token_cache: Dict[str, Dict[tuple, List[int]]] = {}
 
     # ------------------------------------------------------------------------
 
@@ -424,16 +425,21 @@ class Experiment:
         (T5VisionModel.py:153-167; hint appended with no separator —
         quirk #12). Prompts are epoch-invariant (frozen CLIP + corpus), so
         token ids are cached across epochs — unlike the reference, which
-        re-tokenizes inside the hot loop every batch."""
+        re-tokenizes inside the hot loop every batch.
+
+        Cache key is (question_id, task), not qid alone: VQA-RAD fans one
+        record out into several entries sharing a qid but with different
+        tasks (data/datasets.py VQA_RAD qtype_map, reference
+        VQA_RAD.py:35-50), and the task is part of the prompt prefix."""
         cache = self._token_cache.setdefault(split_name, {})
-        qid = entry["question_id"]
-        ids = cache.get(qid)
+        key = (entry["question_id"], entry["task"])
+        ids = cache.get(key)
         if ids is None:
             text = (f"Answer the {entry['task']} question: "
                     + entry["question"] + self.hint_for(entry, split_name))
             ids = self.tokenizer.encode(
                 text, max_length=self.model_cfg.max_source_length)
-            cache[qid] = ids
+            cache[key] = ids
         return ids
 
     def compute_image_prefixes(self, entries) -> Dict[str, np.ndarray]:
@@ -461,9 +467,12 @@ class Experiment:
                            prefix_table: Optional[Dict[str, np.ndarray]]
                            = None) -> List[Batch]:
         needs_labels = not self.model_cfg.use_prediction_head
-        rng = np.random.default_rng(
-            abs(hash((split_name, int(self.cfg.get("seed", 88)))))
-            % (2**32)) if shuffle else None
+        # zlib.crc32, not hash(): Python string hashing is salted per
+        # process (PYTHONHASHSEED), which would make batch order — and the
+        # trained weights — differ between runs of the same config
+        seed = zlib.crc32(
+            f"{split_name}:{int(self.cfg.get('seed', 88))}".encode())
+        rng = np.random.default_rng(seed) if shuffle else None
         return make_batches(
             dataset.entries, self.batch_size,
             encode_fn=lambda e: self.encode_entry(e, split_name),
@@ -530,11 +539,12 @@ class Experiment:
     def train(self, resume: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         hp = cfg["hyperparameters"]
+        resume_meta: Dict[str, Any] = {}
         if resume:
             if not os.path.exists(self.model_path):
                 raise FileNotFoundError(
                     f"--resume: no checkpoint at {self.model_path}")
-            self.params, opt, _ = ckpt.load_checkpoint(
+            self.params, opt, resume_meta = ckpt.load_checkpoint(
                 self.model_path, self.params, self.opt_state)
             if opt is not None:
                 self.opt_state = opt
@@ -544,6 +554,14 @@ class Experiment:
                     self.model_root,
                     self.model_prefix + "_msrc_with_retrieval_80.npz")
         scheduler = ReduceLROnPlateau(lr=hp["learning_rate"])
+        if resume and not cfg.get("further_finetune"):
+            # reference parity: optimizer.load_state_dict restores the
+            # param_groups LR, so a resumed run continues at the decayed LR
+            # (a fresh torch scheduler keeps stepping it from there);
+            # further_finetune resets g['lr'] to the config value
+            # (main.py:154-160). Patience counters are fresh either way.
+            scheduler.lr = float(resume_meta.get("lr", scheduler.lr))
+        self.scheduler = scheduler  # introspectable (tests, notebooks)
         if self.retrieval_index is not None:
             self.retrieval_index.is_training_phase = True
             self.precompute_hints(self.dataset_train, "train")
@@ -625,7 +643,7 @@ class Experiment:
                 ckpt.save_checkpoint(
                     self.model_path, self.params, self.opt_state,
                     metadata={"epoch": epoch, "valid_loss": valid_loss,
-                              "config": cfg})
+                              "lr": scheduler.lr, "config": cfg})
                 best_valid = valid_loss
                 best_epoch = epoch
                 streak = 0

@@ -1,0 +1,120 @@
+"""Regression tests for round-1 verdict findings (VERDICT.md "What's weak"
+#2/#3/#5): VQA-RAD token-cache collision, hash()-seeded shuffle
+irreproducibility across processes, and --resume LR semantics.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from multimodalpromptretrieval_tpu.data.synthetic import (
+    generate_synthetic_slake,
+    synthetic_config,
+)
+from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_reg")
+    generate_synthetic_slake(str(root / "SLAKE"), n_train=16, n_validate=8,
+                             n_test=8, image_size=32, seed=0)
+    return str(root)
+
+
+def _cfg(synth_root, **kw):
+    cfg = synthetic_config(synth_root, batch_size=8, epochs=1,
+                           image_size=32)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg.update(kw)
+    return cfg
+
+
+def _exp(cfg, tmp, train_mode=True):
+    return Experiment(cfg, train_mode=train_mode, quiet=True,
+                      log_root=os.path.join(tmp, "logs"),
+                      model_root=os.path.join(tmp, "models"))
+
+
+def test_token_cache_keyed_by_qid_and_task(synth_root, tmp_path):
+    """VQA-RAD fans one record into several entries sharing a question_id
+    but differing in task (reference VQA_RAD.py:35-50); each must get its
+    own 'Answer the {task} question: ' prompt, not the first entry's."""
+    exp = _exp(_cfg(synth_root), str(tmp_path))
+    base = dict(exp.dataset_train.entries[0])
+    e1 = dict(base, task="PRES")
+    e2 = dict(base, task="ORGAN")  # same question_id, different task
+    ids1 = exp.encode_entry(e1, "train")
+    ids2 = exp.encode_entry(e2, "train")
+    assert ids1 != ids2
+    # and the cache keeps both (no overwrite / stale reuse)
+    assert exp.encode_entry(e1, "train") == ids1
+    assert exp.encode_entry(e2, "train") == ids2
+
+
+_SUBPROC_SCRIPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+cfg = json.load(open(sys.argv[1]))
+exp = Experiment(cfg, train_mode=True, quiet=True,
+                 log_root=sys.argv[2] + "/logs",
+                 model_root=sys.argv[2] + "/models")
+batches = exp.make_split_batches(exp.dataset_train, "train", shuffle=True)
+order = [e["question_id"] for b in batches for e in b.entries]
+print(json.dumps(order))
+"""
+
+
+def test_shuffle_order_stable_across_processes(synth_root, tmp_path):
+    """Epoch shuffle must not depend on PYTHONHASHSEED: two processes with
+    different hash salts must produce the same batch order (hash() was the
+    r1 bug; zlib.crc32 is the fix)."""
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(_cfg(synth_root), f)
+    orders = []
+    for salt in ("1", "31337"):
+        env = dict(os.environ, PYTHONHASHSEED=salt, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", _SUBPROC_SCRIPT, cfg_path,
+             str(tmp_path / ("run" + salt))],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        orders.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    assert orders[0] == orders[1]
+    assert len(orders[0]) == 48  # 16 train images × 3 QA pairs
+
+
+def test_resume_restores_decayed_lr(synth_root, tmp_path):
+    """Reference parity: optimizer.load_state_dict restores the decayed LR
+    on --resume (main.py:154-157); further_finetune resets it to the config
+    LR (main.py:157-160)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(synth_root)
+    exp = _exp(cfg, tmp)
+    exp.train()
+    meta_path = exp.model_path + ".json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert "lr" in meta  # current LR now travels with the checkpoint
+    # simulate a plateau decay having happened before the save
+    meta["lr"] = 1e-5
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    exp2 = _exp(cfg, tmp)
+    exp2.train(resume=True)
+    assert exp2.scheduler.lr == pytest.approx(1e-5)
+
+    cfg_ff = _cfg(synth_root, further_finetune=1)
+    exp3 = _exp(cfg_ff, tmp)
+    exp3.train(resume=True)
+    assert exp3.scheduler.lr == pytest.approx(
+        cfg["hyperparameters"]["learning_rate"])
