@@ -61,6 +61,24 @@ from multimodalpromptretrieval_tpu.train.optim import (
 from multimodalpromptretrieval_tpu.utils import get_model_prefix
 
 
+def tokenizer_corpus(dataset_train, dataset_validate,
+                     dataset_test) -> List[str]:
+    """The hermetic-tokenizer training corpus for a dataset triple.
+
+    Module-level (not a method) so the cross-framework parity harness can
+    build a byte-identical tokenizer for the reference driver's shims."""
+    corpus = [e["question"] for e in dataset_train.entries]
+    corpus += [e["answer"] for e in dataset_train.entries]
+    corpus += [e["answer"] for e in dataset_validate.entries]
+    corpus += [e["answer"] for e in dataset_test.entries]
+    corpus += [f"Answer the {t} question: " for t in sorted(
+        {e["task"] for e in dataset_train.entries})]
+    corpus += ["I believe the answer is", "The most frequent answer",
+               "very unlikely unlikely maybe likely very likely "
+               "certainly"]
+    return corpus
+
+
 class Experiment:
     def __init__(self, cfg: Dict[str, Any], *, train_mode: bool,
                  model_file: Optional[str] = None,
@@ -133,15 +151,9 @@ class Experiment:
         if spiece and os.path.exists(spiece):
             self.tokenizer = T5SentencePieceTokenizer.from_spiece_model(spiece)
         else:
-            corpus = [e["question"] for e in self.dataset_train.entries]
-            corpus += [e["answer"] for e in self.dataset_train.entries]
-            corpus += [e["answer"] for e in self.dataset_validate.entries]
-            corpus += [e["answer"] for e in self.dataset_test.entries]
-            corpus += [f"Answer the {t} question: " for t in sorted(
-                {e["task"] for e in self.dataset_train.entries})]
-            corpus += ["I believe the answer is", "The most frequent answer",
-                       "very unlikely unlikely maybe likely very likely "
-                       "certainly"]
+            corpus = tokenizer_corpus(self.dataset_train,
+                                      self.dataset_validate,
+                                      self.dataset_test)
             self.tokenizer = T5SentencePieceTokenizer.from_corpus(corpus)
         # the reference adds one "[itk]" token (T5VisionModel.py:58-61)
         self.tokenizer.add_tokens(["[itk]"])
