@@ -1,19 +1,20 @@
-"""End-to-end serving benchmark: SLAKE-style QA pairs/sec on one chip.
+"""Serving / training benchmarks: SLAKE-style QA pairs/sec on one chip.
 
-Measures the BASELINE.json north-star pipeline per batch: CLIP ViT-B/32
-visual prefix (50 tokens) -> retrieval query embedding + fused L2 top-k
-(k=1) over an (N, 1024) index -> T5-small encode -> greedy decode
-(max_new_tokens=20, while_loop + KV cache), all inside ONE jit.
+Three modes (default ``all`` — one JSON line, e2e as the headline):
 
-The workload mirrors SLAKE test inference: the English test split is 1,061
-QA pairs over 96 images (~11 questions per image). ``--qa-per-image``
-(default 8, conservative) controls that reuse; the ViT runs once per
-unique image and per-QA prefixes are gathered — the reference recomputes
-CLIP for every QA pair. ``--qa-per-image 1`` gives the unique-image
-worst case.
+``e2e``    — the HONEST serving number: drives ``MPRServer.answer`` over a
+             full-size synthetic SLAKE corpus with retrieval k=1 — host
+             tokenize -> CLIP embed + fused L2 top-k -> host majority vote
+             + hint formatting -> re-tokenize -> ViT prefix + T5 encode +
+             greedy decode -> host detokenize, all inside the measured
+             loop (the reference pipeline, main.py:262-307). Image reuse
+             mirrors SLAKE test (3 QAs/image, via MPRServer image_ids).
+``device`` — the device-only pipeline (everything inside ONE jit, no host
+             round-trip; random ids; full-length decode). Upper bound.
+``train``  — jitted train-step throughput (loss+grad+AdamW) at B=128.
 
 The reference publishes no numbers (SURVEY.md §6); the baseline is the
-driver's target: 2,000 QA pairs/sec. ``vs_baseline`` = value / 2000.
+driver's target: 2,000 QA pairs/sec. ``vs_baseline`` = e2e value / 2000.
 
 Run:  python bench.py            (real chip, bf16 compute)
       python bench.py --preset tiny --platform cpu   (smoke test)
@@ -123,8 +124,131 @@ def build(preset: str, dtype_name: str, batch: int, seq_len: int,
     return fn, args
 
 
+def run_device(args) -> float:
+    """Device-only QA/s (one fused jit, no host round-trips)."""
+    import numpy as np
+
+    fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
+                      args.corpus, args.k, args.decode_len,
+                      args.qa_per_image)
+    # warmup/compile — materialize on host: on the axon (tunneled TPU)
+    # platform block_until_ready returns before execution completes, so a
+    # host fetch is the only reliable sync point
+    np.asarray(fn(*fargs)[0])
+    # keep one batch in flight: dispatch i+1 before fetching i so the host
+    # round-trip overlaps device compute
+    t0 = time.perf_counter()
+    pending = fn(*fargs)
+    for _ in range(args.iters - 1):
+        nxt = fn(*fargs)
+        np.asarray(pending[0])
+        pending = nxt
+    np.asarray(pending[0])
+    dt = time.perf_counter() - t0
+    return args.batch * args.iters / dt
+
+
+def _bench_experiment(args, data_dir: str, tiny: bool):
+    """A full-size (or tiny) Experiment over a synthetic SLAKE corpus,
+    reused across runs via ``data_dir``."""
+    import os
+
+    from multimodalpromptretrieval_tpu.data.synthetic import (
+        generate_synthetic_slake,
+        synthetic_config,
+    )
+    from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+    size = 64 if tiny else 224
+    n_train = 16 if tiny else 410       # -> 1,230 retrieval corpus entries
+    n_test = 8 if tiny else args.e2e_images  # 512 imgs -> 1,536 test QAs
+    marker = os.path.join(data_dir, "SLAKE", "test.json")
+    if not os.path.exists(marker):
+        generate_synthetic_slake(
+            os.path.join(data_dir, "SLAKE"), n_train=n_train, n_validate=8,
+            n_test=n_test, image_size=size, seed=0)
+    cfg = synthetic_config(data_dir, batch_size=args.batch if not tiny
+                           else 8, epochs=1, retrieval=True, k=args.k,
+                           image_size=size)
+    if not tiny:  # full t5-small + ViT-B/32 (the north-star config)
+        del cfg["t5_overrides"]
+        cfg["clip_overrides"] = {"attention_impl": "row"}
+        cfg["compute_dtype"] = ("bfloat16" if args.dtype == "bf16"
+                                else "float32")
+    else:
+        cfg["clip_overrides"]["image_resolution"] = size
+    return Experiment(cfg, train_mode=False, quiet=True,
+                      log_root=os.path.join(data_dir, "logs"),
+                      model_root=os.path.join(data_dir, "models"))
+
+
+def run_e2e(args, data_dir: str) -> float:
+    """End-to-end QA/s through MPRServer.answer (host work measured)."""
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.serve import MPRServer
+
+    exp = _bench_experiment(args, data_dir, tiny=args.preset == "tiny")
+    server = MPRServer(exp, load_checkpoint=False)
+    entries = exp.dataset_test.entries
+    images = np.stack([exp.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    n = len(entries)
+    server.answer(images, questions, tasks, image_ids=ids)  # warmup/compile
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(args.e2e_iters):
+        out = server.answer(images, questions, tasks, image_ids=ids)
+        total += len(out)
+    dt = time.perf_counter() - t0
+    assert total == n * args.e2e_iters
+    return total / dt
+
+
+def run_train(args, data_dir: str) -> float:
+    """Train-step throughput (examples/sec) on the full-size model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+    from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+    exp = _bench_experiment(args, data_dir, tiny=args.preset == "tiny")
+    cfg = exp.model_cfg
+    B = args.train_batch if args.preset != "tiny" else 8
+    rng = np.random.default_rng(0)
+    R = cfg.clip.image_resolution
+    batch = exp.device_batch_from({
+        "images": rng.normal(size=(B, 3, R, R)).astype(np.float32),
+        "input_ids": rng.integers(
+            2, cfg.t5.vocab_size, size=(B, args.seq_len)).astype(np.int32),
+        "text_mask": np.ones((B, args.seq_len), np.int32),
+        "labels": rng.integers(2, cfg.t5.vocab_size,
+                               size=(B, 8)).astype(np.int64),
+    })
+    params = exp.params
+    opt_state = adamw_init(params)
+    step = pmesh.make_train_step(cfg, exp.trainable, mesh=exp.mesh)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+    params, opt_state, loss = step(params, opt_state, batch, lr, key)
+    np.asarray(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(args.train_iters):
+        params, opt_state, loss = step(params, opt_state, batch, lr, key)
+    np.asarray(loss)
+    dt = time.perf_counter() - t0
+    return B * args.train_iters / dt
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="all",
+                   choices=["all", "e2e", "device", "train"])
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--batch", type=int, default=512)
@@ -133,8 +257,13 @@ def main():
     p.add_argument("--k", type=int, default=1)
     p.add_argument("--decode-len", type=int, default=20)
     p.add_argument("--qa-per-image", type=int, default=8,
-                   help="QA pairs sharing one image (SLAKE test ~11)")
+                   help="device mode: QA pairs sharing one image")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--e2e-iters", type=int, default=3)
+    p.add_argument("--e2e-images", type=int, default=512)
+    p.add_argument("--train-batch", type=int, default=128)
+    p.add_argument("--train-iters", type=int, default=30)
+    p.add_argument("--data-dir", default="/tmp/mpr_bench_data")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -153,33 +282,33 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
-                      args.corpus, args.k, args.decode_len,
-                      args.qa_per_image)
-    import numpy as np
-
-    # warmup/compile — materialize on host: on the axon (tunneled TPU)
-    # platform block_until_ready returns before execution completes, so a
-    # host fetch is the only reliable sync point
-    np.asarray(fn(*fargs)[0])
-    # keep one batch in flight: dispatch i+1 before fetching i so the host
-    # round-trip overlaps device compute
-    t0 = time.perf_counter()
-    pending = fn(*fargs)
-    for _ in range(args.iters - 1):
-        nxt = fn(*fargs)
-        np.asarray(pending[0])
-        pending = nxt
-    np.asarray(pending[0])
-    dt = time.perf_counter() - t0
-    qa_per_sec = args.batch * args.iters / dt
     baseline = 2000.0
-    print(json.dumps({
-        "metric": "slake_serve_qa_pairs_per_sec",
-        "value": round(qa_per_sec, 2),
-        "unit": "QA/s",
-        "vs_baseline": round(qa_per_sec / baseline, 4),
-    }))
+    if args.mode == "device":
+        v = run_device(args)
+        print(json.dumps({
+            "metric": "slake_serve_qa_pairs_per_sec", "value": round(v, 2),
+            "unit": "QA/s", "vs_baseline": round(v / baseline, 4)}))
+    elif args.mode == "e2e":
+        v = run_e2e(args, args.data_dir)
+        print(json.dumps({
+            "metric": "slake_serve_qa_pairs_per_sec_e2e",
+            "value": round(v, 2),
+            "unit": "QA/s", "vs_baseline": round(v / baseline, 4)}))
+    elif args.mode == "train":
+        v = run_train(args, args.data_dir)
+        print(json.dumps({
+            "metric": "train_examples_per_sec", "value": round(v, 2),
+            "unit": "ex/s", "vs_baseline": None}))
+    else:  # all: e2e is the headline; device + train ride along
+        e2e = run_e2e(args, args.data_dir)
+        dev = run_device(args)
+        trn = run_train(args, args.data_dir)
+        print(json.dumps({
+            "metric": "slake_serve_qa_pairs_per_sec_e2e",
+            "value": round(e2e, 2), "unit": "QA/s",
+            "vs_baseline": round(e2e / baseline, 4),
+            "device_only_qa_per_sec": round(dev, 2),
+            "train_ex_per_sec": round(trn, 2)}))
 
 
 if __name__ == "__main__":

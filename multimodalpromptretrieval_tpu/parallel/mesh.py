@@ -3,8 +3,16 @@
 Strategy (SURVEY.md §2c): **data parallelism over the ICI mesh is the
 first-class strategy** at t5-small / ViT-B scale — params replicated, batch
 sharded on the leading axis; XLA turns the grad reduction into a psum over
-ICI. The mesh is built 2-D ("data", "model") with model=1 so tensor-parallel
-shardings can slot in later without changing call sites.
+ICI.
+
+The mesh is 2-D ("data", "model"). With ``n_model > 1`` the T5 tower runs
+Megatron-style tensor parallelism: attention q/k/v and FF wi kernels are
+column-sharded over "model", the o / wo kernels row-sharded
+(``param_shardings``), so each block needs exactly one reduce per
+sub-layer — XLA GSPMD derives the collectives from the param shardings
+alone. Out of scope for perf at t5-small scale, but the mesh abstraction
+must not preclude TP (validated against DP numerics in
+tests/test_parallel.py and the driver's dryrun).
 
 Everything compiles once per (variant, shape-bucket): the driver buckets
 text lengths (data/batching.py) so jit never retraces in the hot loop.
@@ -40,9 +48,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Megatron-style TP rules for the stacked T5 blocks (leading layer dim):
+#   q/k/v, wi[, wi_0, wi_1]  (L, in, out)  -> column-shard out over "model"
+#   o, wo                    (L, in, out)  -> row-shard in over "model"
+# Matched by path suffix, so the same rules cover params AND the AdamW
+# mu/nu moment trees (same layout one level deeper).
+_COL_SUFFIXES = (("attn", "q"), ("attn", "k"), ("attn", "v"),
+                 ("self_attn", "q"), ("self_attn", "k"), ("self_attn", "v"),
+                 ("cross_attn", "q"), ("cross_attn", "k"),
+                 ("cross_attn", "v"),
+                 ("ff", "wi"), ("ff", "wi_0"), ("ff", "wi_1"))
+_ROW_SUFFIXES = (("attn", "o"), ("self_attn", "o"), ("cross_attn", "o"),
+                 ("ff", "wo"))
+
+
+def _spec_for_path(path, leaf) -> P:
+    keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+    tail = keys[-2:]
+    if "t5" in keys and getattr(leaf, "ndim", 0) == 3:
+        if tail in _COL_SUFFIXES:
+            return P(None, None, "model")
+        if tail in _ROW_SUFFIXES:
+            return P(None, "model", None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings: replicated everywhere except the T5 block
+    kernels, which are tensor-sharded over the "model" axis (no-ops when
+    n_model == 1 — a size-1 axis is replication)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, _spec_for_path(p, x)), params)
+
+
 def shard_params(params, mesh: Mesh):
-    """Replicate the param pytree across the mesh (DP)."""
-    return jax.device_put(params, replicated(mesh))
+    """Place a params / opt-state pytree on the mesh: DP-replicated, with
+    T5 kernels TP-sharded over "model" when the axis is wider than 1."""
+    return jax.device_put(params, param_shardings(params, mesh))
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -52,12 +94,15 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def make_train_step(cfg: mprgen.MPRGenConfig, trainable=None, *,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    param_sharding=None):
     """loss+grad+AdamW in one jit.
 
     fn(params, opt_state, batch, lr, rng) -> (params, opt_state, loss).
-    With a mesh, params/opt_state are replicated and the batch is sharded on
-    "data"; XLA inserts the psum for the grads.
+    With a mesh, params/opt_state are replicated (or TP-sharded when
+    ``param_sharding`` — a pytree from ``param_shardings`` — is given) and
+    the batch is sharded on "data"; XLA inserts the grad psum over "data"
+    and the activation reduces over "model".
     """
 
     def step(params, opt_state, batch, lr, rng):
@@ -71,8 +116,10 @@ def make_train_step(cfg: mprgen.MPRGenConfig, trainable=None, *,
     if mesh is not None:
         rep = replicated(mesh)
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, rep, data, rep, rep)
-        kwargs["out_shardings"] = (rep, rep, rep)
+        ps = param_sharding if param_sharding is not None else rep
+        opt = {"mu": ps, "nu": ps, "step": rep}
+        kwargs["in_shardings"] = (ps, opt, data, rep, rep)
+        kwargs["out_shardings"] = (ps, opt, rep)
     if donate:
         kwargs["donate_argnums"] = (0, 1)
     return jax.jit(step, **kwargs)
@@ -97,7 +144,7 @@ def make_eval_loss_step(cfg: mprgen.MPRGenConfig, *,
 
 
 def make_predict_step(cfg: mprgen.MPRGenConfig, *, max_new_tokens: int = 20,
-                      mesh: Optional[Mesh] = None):
+                      mesh: Optional[Mesh] = None, param_sharding=None):
     """fn(params, batch) -> generated token ids / class ids, batch-sharded."""
 
     def step(params, batch):
@@ -105,7 +152,9 @@ def make_predict_step(cfg: mprgen.MPRGenConfig, *, max_new_tokens: int = 20,
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        ps = param_sharding if param_sharding is not None \
+            else replicated(mesh)
+        kwargs["in_shardings"] = (ps, batch_sharding(mesh))
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)
 

@@ -43,6 +43,20 @@ def test_server_answers_arbitrary_request_sizes(trained):
         assert isinstance(a, str)
 
 
+def test_server_image_dedup_matches_plain_path(trained):
+    """image_ids dedup (shared ViT prefix per unique image) must not change
+    the answers, across multiple dispatched batches (batch_size=4, 9 rows)."""
+    server = MPRServer(trained)
+    entries = (trained.dataset_test.entries * 2)[:9]  # repeats share images
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    plain = server.answer(images, questions, tasks)
+    dedup = server.answer(images, questions, tasks,
+                          image_ids=[e["image_name"] for e in entries])
+    assert plain == dedup
+
+
 def test_server_without_retrieval(trained):
     # hints off: server still answers (empty hint)
     idx = trained.retrieval_index
