@@ -86,8 +86,11 @@ class CLIPBPETokenizer:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rt", encoding="utf-8") as f:
             lines = f.read().split("\n")
+        # upstream slices exactly (SimpleTokenizer.__init__); additionally
+        # drop malformed/blank lines so truncated fixture files load too
         merge_lines = lines[1:49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merge_lines]
+        merges = [tuple(m.split()) for m in merge_lines
+                  if len(m.split()) == 2]
         base = list(bytes_to_unicode().values())
         vocab = base + [v + "</w>" for v in base]
         vocab += ["".join(m) for m in merges]
