@@ -147,7 +147,7 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
     B, L, W = x.shape
     Dh = W // heads
 
-    if attention_impl == "row" and not causal:
+    if attention_impl == "row":
         # TPU fast path (docs/TPU_NOTES.md trace findings): flatten to
         # (B·L, W) so every dense is ONE large MXU GEMM — under lax.scan a
         # (B, L, W) @ (W, ·) dot compiles to B tiny batched GEMMs at ~6%
@@ -155,8 +155,9 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
         # (no head transposes / HBM score tensors). Layers are unrolled:
         # scan's dynamically-sliced weights force the windowed GEMM
         # emitter. ~22% faster ViT tower at B=512; identical math.
+        from multimodalpromptretrieval_tpu.ops.norm import fused_layer_norm
         from multimodalpromptretrieval_tpu.ops.row_attention import (
-            row_attention,
+            row_attention_packed,
         )
 
         interpret = jax.default_backend() == "cpu"
@@ -164,15 +165,13 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
         x = x.reshape(B * L, W)
         for li in range(n_layers):
             p = jax.tree.map(lambda a: a[li], blocks)
-            h = layer_norm(x, p["ln_1"]["w"], p["ln_1"]["b"])
+            h = fused_layer_norm(x, p["ln_1"]["w"], p["ln_1"]["b"])
             qkv = dense(h, p["attn"]["wqkv"], p["attn"]["bqkv"])
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            o = row_attention(
-                q.reshape(B, L, W), k.reshape(B, L, W), v.reshape(B, L, W),
-                heads=heads, scale=Dh**-0.5,
-                interpret=interpret).reshape(B * L, W)
+            o = row_attention_packed(
+                qkv.reshape(B, L, 3 * W), heads=heads, scale=Dh**-0.5,
+                causal=causal, interpret=interpret).reshape(B * L, W)
             x = x + dense(o, p["attn"]["out"], p["attn"]["out_b"])
-            h = layer_norm(x, p["ln_2"]["w"], p["ln_2"]["b"])
+            h = fused_layer_norm(x, p["ln_2"]["w"], p["ln_2"]["b"])
             h = quick_gelu(dense(h, p["mlp"]["fc"], p["mlp"]["fc_b"]))
             x = x + dense(h, p["mlp"]["proj"], p["mlp"]["proj_b"])
         return x.reshape(B, L, W)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
+from multimodalpromptretrieval_tpu.ops.decode_attention import decode_attention
 from multimodalpromptretrieval_tpu.ops.layers import dense, gelu_new, rms_norm
 
 Params = Dict[str, Any]
@@ -290,35 +291,41 @@ def t5_encode(
         # emitter at ~6% peak), attention in the row-layout Pallas kernel
         # with the relative-position bias resident in VMEM. Differentiable
         # (row_attention has a custom VJP); math identical to the scan path.
+        from multimodalpromptretrieval_tpu.ops.norm import fused_rms_norm
         from multimodalpromptretrieval_tpu.ops.row_attention import (
-            row_attention,
+            row_attention_packed,
         )
 
         B = inputs_embeds.shape[0]
         D = cfg.d_model
+        W = cfg.inner_dim
         interpret = jax.default_backend() == "cpu"
         n_layers = cfg.num_layers
         x = x0.reshape(B * L, D)
         bias_h = bias[0]  # (H, L, L)
         mask = None if attention_mask is None else attention_mask
         rng = dropout_rng
+        # One fused q/k/v GEMM per layer; the packed kernel slices the
+        # lane-aligned [q | k | v] column groups in VMEM (no split copies).
+        qkv_w = jnp.concatenate(
+            [enc["block"]["attn"]["q"], enc["block"]["attn"]["k"],
+             enc["block"]["attn"]["v"]], axis=2)  # (Lyrs, D, 3W)
         for li in range(n_layers):
             p = jax.tree.map(lambda a: a[li], enc["block"])
             r1 = r2 = r3 = None
             if rng is not None:
                 rng, r1, r2, r3 = jax.random.split(rng, 4)
-            h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
-            q = dense(h, p["attn"]["q"]).reshape(B, L, cfg.inner_dim)
-            k = dense(h, p["attn"]["k"]).reshape(B, L, cfg.inner_dim)
-            v = dense(h, p["attn"]["v"]).reshape(B, L, cfg.inner_dim)
-            o = row_attention(q, k, v, bias_h, mask, heads=cfg.num_heads,
-                              scale=1.0, interpret=interpret)
-            o = dense(o.reshape(B * L, cfg.inner_dim), p["attn"]["o"])
+            h = fused_rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
+            qkv = dense(h, qkv_w[li]).reshape(B, L, 3 * W)
+            o = row_attention_packed(qkv, bias_h, mask,
+                                     heads=cfg.num_heads, scale=1.0,
+                                     interpret=interpret)
+            o = dense(o.reshape(B * L, W), p["attn"]["o"])
             x = x + _dropout(o, rate, r1)
-            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+            h = fused_rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
             x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
                              rate, r3)
-        x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+        x = fused_rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
         x = _dropout(x, rate, None if dropout_rng is None
                      else jax.random.fold_in(dropout_rng, 1))
         return x.reshape(B, L, D)
@@ -523,15 +530,14 @@ def t5_forward_with_attentions(
 
 
 def _precompute_cross_kv(params, cfg, encoder_hidden):
-    """Cross-attention K/V depend only on encoder output: compute once."""
-    B, Lk, _ = encoder_hidden.shape
-    H, Dk = cfg.num_heads, cfg.d_kv
+    """Cross-attention K/V depend only on encoder output: compute once.
 
+    Row layout (Lyrs, B, Lk, W) — exactly what the projections produce;
+    the old (Lyrs, B, H, Lk, Dh) head split cost two full-cache layout
+    copies per decode call (HLO copy.88/copy.90, ~3 ms at B=512)."""
     def per_layer(p):
-        k = dense(encoder_hidden, p["cross_attn"]["k"])
-        v = dense(encoder_hidden, p["cross_attn"]["v"])
-        split = lambda y: jnp.transpose(y.reshape(B, Lk, H, Dk), (0, 2, 1, 3))  # noqa: E731
-        return split(k), split(v)
+        return (dense(encoder_hidden, p["cross_attn"]["k"]),
+                dense(encoder_hidden, p["cross_attn"]["v"]))
 
     return jax.vmap(per_layer)(params["decoder"]["block"])
 
@@ -546,25 +552,35 @@ def t5_greedy_decode(
 
     Matches HF ``generate(inputs_embeds=..., do_sample=False,
     max_new_tokens=N)`` (architectures/T5VisionModel.py:200-205).
+
+    TPU shape discipline (decode is bandwidth/latency-bound): activations
+    stay 2-D (B, D) rows, KV caches stay in row layout (B, T, W) with no
+    head transposes, and each attention is one fused Pallas pass over the
+    cache (ops/decode_attention.py) — XLA's Lq=1 einsums lower to kLoop
+    window fusions at ~40% of HBM bandwidth.
     """
     dec = params["decoder"]
     B = encoder_hidden.shape[0]
-    H, Dk, Lyrs = cfg.num_heads, cfg.d_kv, cfg.num_decoder_layers
+    H, Lyrs = cfg.num_heads, cfg.num_decoder_layers
+    W = cfg.inner_dim
     T = max_new_tokens
+    interpret = jax.default_backend() == "cpu"
 
     cross_k, cross_v = _precompute_cross_kv(params, cfg, encoder_hidden)
-    enc_kv_mask = None if encoder_mask is None else encoder_mask.astype(bool)
-    # Full causal decoder position bias, sliced per step: (1, H, T, T).
+    enc_kv_mask = (None if encoder_mask is None
+                   else encoder_mask.astype(jnp.int32))
+    # Full causal decoder position bias, sliced per step: (H, T, T).
     full_bias = compute_position_bias(dec["rel_bias"], T, T,
-                                      bidirectional=False, cfg=cfg)
+                                      bidirectional=False, cfg=cfg)[0]
     # Fuse the per-layer self-attention q/k/v projections into one matmul
-    # per decode step: (Lyrs, D, 3·inner). The MXU sees one larger GEMM
-    # instead of three skinny ones (decode is latency-bound).
+    # per decode step: (Lyrs, D, 3·W). The MXU sees one larger GEMM
+    # instead of three skinny ones; q/k/v come out as lane-aligned
+    # column slices of the result.
     qkv_w = jnp.concatenate(
         [dec["block"]["self_attn"]["q"], dec["block"]["self_attn"]["k"],
          dec["block"]["self_attn"]["v"]], axis=2)
 
-    self_k = jnp.zeros((Lyrs, B, H, T, Dk), encoder_hidden.dtype)
+    self_k = jnp.zeros((Lyrs, B, T, W), encoder_hidden.dtype)
     self_v = jnp.zeros_like(self_k)
     tokens = jnp.full((B, T + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -573,13 +589,14 @@ def t5_greedy_decode(
     def step_fn(state):
         t, tokens, self_k, self_v, finished = state
         cur = tokens[jnp.arange(B), t]  # current input token (B,)
-        x = params["shared"][cur][:, None, :]  # (B, 1, D)
+        x = params["shared"][cur]  # (B, D)
 
-        step_pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        kv_valid = step_pos[0] <= t  # keys 0..t are populated
-
+        # keys 0..t are populated; the validity mask is batch-invariant so
+        # it folds into the additive bias row (one fused (H, T) input)
+        kv_valid = (jax.lax.broadcasted_iota(jnp.int32, (H, T), 1) <= t)
         bias_row = jax.lax.dynamic_slice(
-            full_bias, (0, 0, t, 0), (1, H, 1, T))  # (1, H, 1, T)
+            full_bias, (0, t, 0), (H, 1, T)).reshape(H, T)
+        bias_row = jnp.where(kv_valid, bias_row, -1e9)
 
         # Layers statically unrolled (decoder depth is small): the KV
         # caches stay direct members of the while_loop carry, so XLA can
@@ -592,37 +609,35 @@ def t5_greedy_decode(
         for li in range(Lyrs):
             p = pick(dec["block"], li)
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, qkv_w[li]).reshape(B, 3, H, Dk)
-            q = jnp.transpose(qkv[:, 0:1], (0, 2, 1, 3))
-            k_new = jnp.transpose(qkv[:, 1:2], (0, 2, 1, 3))
-            v_new = jnp.transpose(qkv[:, 2:3], (0, 2, 1, 3))
+            qkv = dense(h, qkv_w[li])  # (B, 3W)
+            q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:])
             self_k = jax.lax.dynamic_update_slice(
-                self_k, k_new[None], (li, 0, 0, t, 0))
+                self_k, k_new[None, :, None, :], (li, 0, t, 0))
             self_v = jax.lax.dynamic_update_slice(
-                self_v, v_new[None], (li, 0, 0, t, 0))
-            o = multi_head_attention(
-                q, self_k[li], self_v[li], bias=bias_row,
-                kv_mask=jnp.broadcast_to(kv_valid[None], (B, T)),
-                causal=False, scale=1.0, impl="xla")
-            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
+                self_v, v_new[None, :, None, :], (li, 0, t, 0))
+            o = decode_attention(q, self_k[li], self_v[li], bias=bias_row,
+                                 kv_mask=None, heads=H, scale=1.0,
+                                 interpret=interpret)
             x = x + dense(o, p["self_attn"]["o"])
 
             h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
-            q = jnp.transpose(
-                dense(h, p["cross_attn"]["q"]).reshape(B, 1, H, Dk),
-                (0, 2, 1, 3))
-            o = multi_head_attention(q, cross_k[li], cross_v[li], bias=None,
-                                     kv_mask=enc_kv_mask, causal=False,
-                                     scale=1.0, impl="xla")
-            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, 1, H * Dk)
+            q = dense(h, p["cross_attn"]["q"])
+            o = decode_attention(q, cross_k[li], cross_v[li], bias=None,
+                                 kv_mask=enc_kv_mask, heads=H, scale=1.0,
+                                 interpret=interpret)
             x = x + dense(o, p["cross_attn"]["o"])
 
             h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
             x = x + _ff_block(p["ff"], cfg, h)
         x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
         x = x * (cfg.d_model**-0.5)
-        logits = jnp.dot(x[:, 0], params["shared"].T.astype(x.dtype))
-        next_tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        logits = jnp.dot(x, params["shared"].T.astype(x.dtype))
+        # argmax directly on the compute-dtype logits: bf16 -> fp32 is an
+        # injective monotone map, so the argmax (incl. first-max ties) is
+        # identical to argmax(logits.astype(fp32)) — and XLA can fuse the
+        # reduction with the LM-head GEMM instead of materializing a
+        # (B, vocab) fp32 tensor each step.
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, cfg.pad_token_id, next_tok)
         finished = jnp.logical_or(finished, next_tok == cfg.eos_token_id)
         tokens = tokens.at[:, t + 1].set(next_tok)

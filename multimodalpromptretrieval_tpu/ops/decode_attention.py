@@ -1,0 +1,168 @@
+"""Single-query attention over row-layout KV for the greedy decode loop.
+
+Trace finding (docs/TPU_NOTES.md): in the decode while_loop XLA emits the
+per-step cross-attention einsums (q·Kᵀ and P·V at Lq=1) as kLoop "window"
+fusions that read the (B, H, Lk, Dh) caches at ~40% of HBM bandwidth —
+at B=512, Lk=82 that is ~1.7 ms of the ~2.3 ms step (12 fusions/step), and
+the (B, Lk, H, Dh) head-split transposes of the cross K/V precompute cost
+another ~3 ms per call (copy.88/copy.90).
+
+This kernel keeps K/V in the row layout the projections produce —
+``(B, T, W)`` with W = heads·head_dim, no head transposes anywhere — and
+fuses score + softmax + value-gather into one pass over the cache:
+
+  * grid over batch blocks; one block's q rows and K/V rows live in VMEM;
+  * each head is a static 64-lane column slice (same trick as
+    ops/row_attention.py);
+  * scores/softmax in fp32, never touching HBM;
+  * the only HBM traffic is one full-bandwidth read of K and V.
+
+Semantics match ``ops.attention._attention_xla`` with Lq=1: fp32 scores,
+additive fp32 bias, -1e9 key masking, exact softmax, probs cast to the
+value dtype for the PV contraction. Inference-only (the decode loop is
+never differentiated).
+
+Reference behavior covered: HF T5 incremental decoding with KV cache, as
+driven by ``generate(max_new_tokens=20)`` (reference
+architectures/T5VisionModel.py:200-205).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def decode_attention_reference(q, k, v, bias=None, kv_mask=None, *,
+                               heads: int, scale: float = 1.0):
+    """XLA reference: q (B, W), k/v (B, T, W), bias (H, T), kv_mask (B, T)
+    -> (B, W). Same math as ops.attention._attention_xla at Lq=1."""
+    B, T, W = k.shape
+    Dh = W // heads
+    qh = q.reshape(B, heads, Dh)
+    kh = k.reshape(B, T, heads, Dh)
+    vh = v.reshape(B, T, heads, Dh)
+    s = jnp.einsum("bhd,bthd->bht", qh, kh.astype(q.dtype)
+                   ).astype(jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, :] != 0, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bht,bthd->bhd", p, vh)
+    return o.reshape(B, W)
+
+
+def _make_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
+    """Flat-2D formulation (Mosaic-friendly): broadcasting a (Bb, 1, Dh)
+    query over the sublane dim of a (Bb, T, Dh) key block fails the TPU
+    compiler, so instead the query rows are replicated T× with an exact
+    0/1 matmul and everything runs on (Bb·T, ·) 2-D tiles; per-(b,h)
+    score rows come back via free leading-dim reshapes."""
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        i = 3
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        mask_ref = refs[i] if has_mask else None
+        i += 1 if has_mask else 0
+        o_ref = refs[i]
+
+        q = q_ref[...]                    # (Bb, W)
+        mask_add = None
+        if mask_ref is not None:
+            # additive -1e9 instead of where-replace: jnp.where on an int
+            # mask fails the Mosaic TPU compile; at fp32 both make the
+            # masked exp underflow to exactly 0, so outputs are identical
+            mask_add = (1.0 - mask_ref[...].astype(jnp.float32)) * _NEG_INF
+        # replication matrix: (R @ x)[b·T + t] = x[b] — exact in any dtype
+        # (single nonzero per output row)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Bb * T, Bb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Bb * T, Bb), 1)
+        R = (rows // T == cols).astype(q.dtype)
+        # per-head (Bb·T, Dh) working set — slicing the full (Bb·T, W)
+        # flats here instead would triple the VMEM footprint and OOM at
+        # cross-attention sizes (B=512, T=82)
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            kh = k_ref[:, :, sl].reshape(Bb * T, Dh)
+            qr = jax.lax.dot_general(
+                R, q[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(q.dtype)
+            # fp32 products + fp32 accumulate, rounded to the compute
+            # dtype once — the same semantics as the MXU einsum in
+            # decode_attention_reference
+            s = jnp.sum(
+                qr.astype(jnp.float32) * kh.astype(jnp.float32),
+                axis=-1, keepdims=True)          # (Bb·T, 1)
+            s = s.astype(q.dtype).astype(jnp.float32).reshape(Bb, T)
+            if scale != 1.0:
+                s = s * scale
+            if bias_ref is not None:
+                s = s + bias_ref[h:h + 1, :].astype(jnp.float32)
+            if mask_add is not None:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pf = p.astype(q.dtype).reshape(Bb * T, 1)
+            vh = v_ref[:, :, sl].reshape(Bb * T, Dh)
+            pv = pf.astype(jnp.float32) * vh.astype(jnp.float32)
+            o_ref[:, sl] = jnp.sum(
+                pv.reshape(Bb, T, Dh), axis=1).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "interpret"))
+def decode_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
+                     scale: float = 1.0, interpret: bool = False):
+    """Fused single-query attention.
+
+    q: (B, W); k, v: (B, T, W) row-layout caches; bias: optional (H, T)
+    additive scores (T5 relative-position row at the current step);
+    kv_mask: optional (B, T) key validity. Returns (B, W).
+    """
+    B, T, W = k.shape
+    Dh = W // heads
+    if W % 128 != 0 and not interpret:
+        return decode_attention_reference(
+            q, k, v, bias, kv_mask, heads=heads, scale=scale)
+    # batch block: K+V rows for the block (~3 MB single-buffered; the
+    # flat-2D working set adds ~2x that in fp32 transients)
+    bb = max(1, min(B, (3 * 1024 * 1024) // (2 * T * W * 2)))
+    while B % bb:
+        bb -= 1
+    kern = _make_kernel(bb, T, W, heads, Dh, scale, bias is not None,
+                        kv_mask is not None)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    qspec = pl.BlockSpec((bb, W), lambda b: (b, 0), memory_space=mem)
+    kvspec = pl.BlockSpec((bb, T, W), lambda b: (b, 0, 0), memory_space=mem)
+    in_specs = [qspec, kvspec, kvspec]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((heads, T), lambda b: (0, 0),
+                                     memory_space=mem))
+        args.append(bias)
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((bb, T), lambda b: (b, 0),
+                                     memory_space=mem))
+        args.append(kv_mask.astype(jnp.int32))
+    return pl.pallas_call(
+        kern,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, W), q.dtype),
+        interpret=interpret,
+    )(*args)

@@ -152,3 +152,132 @@ def row_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
     bias: optional (heads, L, L) additive scores; kv_mask: optional (B, L)
     key validity. Differentiable (custom VJP)."""
     return _row_attention(q, k, v, bias, kv_mask, heads, scale, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: one (B, L, 3W) input straight from the fused QKV GEMM
+# ---------------------------------------------------------------------------
+
+
+def _make_packed_kernel(H, Dh, W, L, scale, has_bias, has_mask, causal):
+    def kernel(*refs):
+        qkv_ref = refs[0]
+        i = 1
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        mask_ref = refs[i] if has_mask else None
+        i += 1 if has_mask else 0
+        o_ref = refs[i]
+
+        rows = qkv_ref[0]  # (L, 3W): [q | k | v] lane-aligned slices
+        causal_add = None
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+            causal_add = jnp.where(ki <= qi, 0.0, _NEG_INF)
+        for h in range(H):
+            q = rows[:, h * Dh:(h + 1) * Dh]
+            k = rows[:, W + h * Dh:W + (h + 1) * Dh]
+            v = rows[:, 2 * W + h * Dh:2 * W + (h + 1) * Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            if bias_ref is not None:
+                s = s + bias_ref[h].astype(jnp.float32)
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+            if causal_add is not None:
+                s = s + causal_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0, :, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _packed_forward(qkv, bias, kv_mask, heads, scale, interpret, causal):
+    B, L, W3 = qkv.shape
+    W = W3 // 3
+    Dh = W // heads
+    kern = _make_packed_kernel(heads, Dh, W, L, scale, bias is not None,
+                               kv_mask is not None, causal)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [pl.BlockSpec((1, L, W3), lambda b: (b, 0, 0),
+                             memory_space=mem)]
+    args = [qkv]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((heads, L, L), lambda b: (0, 0, 0),
+                                     memory_space=mem))
+        args.append(bias)
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
+                                     memory_space=mem))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, W), lambda b: (b, 0, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((B, L, W), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _row_attention_packed(qkv, bias, kv_mask, heads, scale, interpret,
+                          causal):
+    return _packed_forward(qkv, bias, kv_mask, heads, scale, interpret,
+                           causal)
+
+
+def _packed_fwd(qkv, bias, kv_mask, heads, scale, interpret, causal):
+    out = _packed_forward(qkv, bias, kv_mask, heads, scale, interpret,
+                          causal)
+    return out, (qkv, bias, kv_mask)
+
+
+def _packed_bwd(heads, scale, interpret, causal, res, g):
+    qkv, bias, kv_mask = res
+    W = qkv.shape[-1] // 3
+    q, k, v = qkv[..., :W], qkv[..., W:2 * W], qkv[..., 2 * W:]
+    eff_bias = bias
+    if causal:
+        # fold the causal mask into an (H, L, L) additive bias for the
+        # recompute backward (at fp32 the masked exp underflows to 0, so
+        # add and replace give identical probs and grads)
+        L = qkv.shape[1]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        causal_bias = jnp.where(ki <= qi, 0.0, _NEG_INF).astype(jnp.float32)
+        eff_bias = jnp.broadcast_to(
+            causal_bias[None] if bias is None
+            else bias.astype(jnp.float32) + causal_bias[None],
+            (heads, L, L))
+    dq, dk, dv, d_bias, _ = _row_bwd(heads, scale, interpret,
+                                     (q, k, v, eff_bias, kv_mask), g)
+    if bias is None:
+        d_bias = None
+    return jnp.concatenate([dq, dk, dv], axis=-1), d_bias, None
+
+
+_row_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret", "causal"))
+def row_attention_packed(qkv, bias=None, kv_mask=None, *, heads: int,
+                         scale: float, interpret: bool = False,
+                         causal: bool = False):
+    """Like ``row_attention`` but takes the fused-GEMM output directly:
+    qkv (B, L, 3W) with lane-aligned [q | k | v] column groups. Skips the
+    three (B·L, W) split copies XLA would emit for ``jnp.split``.
+    Optional causal masking (CLIP text tower). Differentiable
+    (custom VJP; same backward math as row_attention)."""
+    return _row_attention_packed(qkv, bias, kv_mask, heads, scale,
+                                 interpret, causal)
