@@ -159,7 +159,7 @@ def row_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_packed_kernel(H, Dh, W, L, scale, has_bias, has_mask, causal):
+def _make_packed_kernel(G, H, Dh, W, L, scale, has_bias, has_mask, causal):
     def kernel(*refs):
         qkv_ref = refs[0]
         i = 1
@@ -169,33 +169,37 @@ def _make_packed_kernel(H, Dh, W, L, scale, has_bias, has_mask, causal):
         i += 1 if has_mask else 0
         o_ref = refs[i]
 
-        rows = qkv_ref[0]  # (L, 3W): [q | k | v] lane-aligned slices
         causal_add = None
         if causal:
             qi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
             ki = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
             causal_add = jnp.where(ki <= qi, 0.0, _NEG_INF)
-        for h in range(H):
-            q = rows[:, h * Dh:(h + 1) * Dh]
-            k = rows[:, W + h * Dh:W + (h + 1) * Dh]
-            v = rows[:, 2 * W + h * Dh:2 * W + (h + 1) * Dh]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if scale != 1.0:
-                s = s * scale
-            if bias_ref is not None:
-                s = s + bias_ref[h].astype(jnp.float32)
-            if mask_ref is not None:
-                s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
-            if causal_add is not None:
-                s = s + causal_add
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o_ref[0, :, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # G images per grid step: the per-image VMEM footprint is tiny
+        # (L=50 rows), so one step per image leaves the sequencer
+        # overhead-bound at large B — statically unrolled inner loop
+        for g in range(G):
+            rows = qkv_ref[g]  # (L, 3W): [q | k | v] lane-aligned slices
+            for h in range(H):
+                q = rows[:, h * Dh:(h + 1) * Dh]
+                k = rows[:, W + h * Dh:W + (h + 1) * Dh]
+                v = rows[:, 2 * W + h * Dh:2 * W + (h + 1) * Dh]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if scale != 1.0:
+                    s = s * scale
+                if bias_ref is not None:
+                    s = s + bias_ref[h].astype(jnp.float32)
+                if mask_ref is not None:
+                    s = jnp.where(mask_ref[g] != 0, s, _NEG_INF)
+                if causal_add is not None:
+                    s = s + causal_add
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o_ref[g, :, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
     return kernel
 
@@ -204,10 +208,15 @@ def _packed_forward(qkv, bias, kv_mask, heads, scale, interpret, causal):
     B, L, W3 = qkv.shape
     W = W3 // 3
     Dh = W // heads
-    kern = _make_packed_kernel(heads, Dh, W, L, scale, bias is not None,
+    G = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * L * W3 * 2 * 2 <= 2 * 1024 * 1024:
+            G = cand
+            break
+    kern = _make_packed_kernel(G, heads, Dh, W, L, scale, bias is not None,
                                kv_mask is not None, causal)
     mem = pl.ANY if interpret else pltpu.VMEM
-    in_specs = [pl.BlockSpec((1, L, W3), lambda b: (b, 0, 0),
+    in_specs = [pl.BlockSpec((G, L, W3), lambda b: (b, 0, 0),
                              memory_space=mem)]
     args = [qkv]
     if bias is not None:
@@ -215,14 +224,14 @@ def _packed_forward(qkv, bias, kv_mask, heads, scale, interpret, causal):
                                      memory_space=mem))
         args.append(bias)
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
+        in_specs.append(pl.BlockSpec((G, 1, L), lambda b: (b, 0, 0),
                                      memory_space=mem))
         args.append(kv_mask.astype(jnp.int32)[:, None, :])
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, W), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((G, L, W), lambda b: (b, 0, 0),
                                memory_space=mem),
         out_shape=jax.ShapeDtypeStruct((B, L, W), qkv.dtype),
         interpret=interpret,
