@@ -159,6 +159,28 @@ def make_predict_step(cfg: mprgen.MPRGenConfig, *, max_new_tokens: int = 20,
     return jax.jit(step, **kwargs)
 
 
+def make_predict_step_shardmap(cfg: mprgen.MPRGenConfig, mesh: Mesh, *,
+                               max_new_tokens: int = 20):
+    """DP predict step wrapped in shard_map (params replicated, batch split
+    on "data").
+
+    GSPMD treats Pallas custom calls (ops/row_attention.py,
+    ops/decode_attention.py) as opaque and would gather their operands to
+    every device under plain pjit on a real multi-chip mesh; shard_map
+    instead hands each device its local batch shard and the kernels
+    partition by construction. DP-only — TP-sharded params need the pjit
+    path (``make_predict_step`` with ``param_sharding``).
+    """
+    from jax import shard_map
+
+    def local(params, batch):
+        return mprgen.predict_fn(params, cfg, batch, max_new_tokens)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
+                   out_specs=P("data"), check_vma=False)
+    return jax.jit(fn)
+
+
 def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
                              max_new_tokens: int = 20,
                              mesh: Optional[Mesh] = None):

@@ -136,6 +136,23 @@ def test_tp_predict_matches_dp_tokens(mesh):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_shardmap_predict_matches_single_device(mesh):
+    # shard_map is the multi-chip serve path: Pallas custom calls don't
+    # auto-partition under pjit, so the serve step hands each device its
+    # local batch shard explicitly. Tokens must match the unsharded jit.
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, 16)
+    pbatch = {k: v for k, v in batch.items() if k != "labels"}
+
+    ref = np.asarray(pmesh.make_predict_step(cfg, max_new_tokens=5)(
+        params, pbatch))
+    b = pmesh.shard_batch(pbatch, mesh)
+    got = np.asarray(pmesh.make_predict_step_shardmap(
+        cfg, mesh, max_new_tokens=5)(params, b))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_sharded_batch_placement(mesh):
     cfg = _tiny_cfg()
     b = pmesh.shard_batch(_batch(cfg, 16), mesh)
