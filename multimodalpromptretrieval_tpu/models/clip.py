@@ -50,8 +50,13 @@ class CLIPConfig:
     # head counts default to the CLIP convention (width / 64)
     vision_heads_override: int = 0
     text_heads_override: int = 0
-    # execution
+    # execution; the text tower gets its own knob because the row path's
+    # win is vision-shaped — at text lengths (L<=32 after EOT truncation)
+    # the packed kernel measures SLOWER than XLA on v5e (20.1 vs 16.2 ms
+    # at B=512, docs/TPU_NOTES.md), so "row" configs should usually pair
+    # with text_attention_impl="xla"
     attention_impl: str = "xla"
+    text_attention_impl: str = ""  # "" -> follow attention_impl
 
     @property
     def vision_heads(self) -> int:
@@ -262,8 +267,9 @@ def clip_encode_text(params: Params, cfg: CLIPConfig,
     # past the last real token never influence the embedding) and much
     # cheaper — serving truncates to the longest real question
     x = x + t["pos_embedding"][:L].astype(x.dtype)
-    x = _transformer(t["blocks"], x, cfg.text_heads,
-                     causal=True, attention_impl=cfg.attention_impl)
+    x = _transformer(t["blocks"], x, cfg.text_heads, causal=True,
+                     attention_impl=(cfg.text_attention_impl
+                                     or cfg.attention_impl))
     x = layer_norm(x, t["ln_final"]["w"], t["ln_final"]["b"])
     eot = jnp.argmax(token_ids, axis=-1)
     pooled = x[jnp.arange(x.shape[0]), eot]

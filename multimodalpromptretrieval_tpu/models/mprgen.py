@@ -218,6 +218,14 @@ def image_prefix(params: Params, cfg: MPRGenConfig,
         grid = jax.lax.stop_gradient(grid)
         return dense(grid, params["rn_proj"]["w"], params["rn_proj"]["b"])
     tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+    return image_prefix_from_tokens(params, cfg, tokens)
+
+
+def image_prefix_from_tokens(params: Params, cfg: MPRGenConfig,
+                             tokens: jnp.ndarray) -> jnp.ndarray:
+    """ViT-path tail of :func:`image_prefix`, split out so serving can run
+    the trunk ONCE per unique image for both the retrieval embedding
+    (token 0 == ``encode_image``) and the T5 prefix (serve.MPRServer)."""
     tokens = jax.lax.stop_gradient(tokens)  # frozen tower (see above)
     if cfg.use_mapping and "mapping" in params:
         tokens = mapping_apply(params["mapping"], tokens)

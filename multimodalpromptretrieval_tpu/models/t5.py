@@ -28,13 +28,17 @@ Layers are stored stacked on a leading axis and executed with ``lax.scan``
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
-from multimodalpromptretrieval_tpu.ops.decode_attention import decode_attention
+from multimodalpromptretrieval_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+)
 from multimodalpromptretrieval_tpu.ops.layers import dense, gelu_new, rms_norm
 
 Params = Dict[str, Any]
@@ -59,6 +63,12 @@ class T5Config:
     dropout_rate: float = 0.1
     # TPU execution knobs (not part of HF parity):
     attention_impl: str = "xla"  # "xla" | "pallas" | "auto"
+    # Decode-loop single-query attention. Measured on v5e (B=512,
+    # docs/TPU_NOTES.md): the XLA einsum path wins by ~8x — the Pallas
+    # flat-2D kernel is sequencer-bound at Lq=1 (12 tiny grid launches
+    # per step) — so "xla" is the default; "pallas" stays available for
+    # re-evaluation on other topologies.
+    decode_attention_impl: str = "xla"  # "xla" | "pallas"
     remat: bool = False  # jax.checkpoint each layer (activation recompute)
 
     @property
@@ -554,19 +564,39 @@ def t5_greedy_decode(
     max_new_tokens=N)`` (architectures/T5VisionModel.py:200-205).
 
     TPU shape discipline (decode is bandwidth/latency-bound): activations
-    stay 2-D (B, D) rows, KV caches stay in row layout (B, T, W) with no
-    head transposes, and each attention is one fused Pallas pass over the
-    cache (ops/decode_attention.py) — XLA's Lq=1 einsums lower to kLoop
-    window fusions at ~40% of HBM bandwidth.
+    stay 2-D (B, D) rows, per-layer q/k/v fused into one GEMM, argmax on
+    the compute-dtype logits. ``cfg.decode_attention_impl`` picks the
+    per-step attention + cache layout:
+
+      * "xla" (default): head-layout (B, H, T, Dh) caches + the XLA
+        einsum — the measured winner on v5e (48 vs 56 ms for 20 steps at
+        B=512; the head split costs one layout copy of the cross K/V per
+        call but the per-step einsums tile better, docs/TPU_NOTES.md);
+      * "pallas": row-layout (B, T, W) caches + the fused single-query
+        Pallas kernel (ops/decode_attention.py) — kept for re-evaluation
+        on other topologies; measured launch-overhead-bound here.
     """
     dec = params["decoder"]
     B = encoder_hidden.shape[0]
     H, Lyrs = cfg.num_heads, cfg.num_decoder_layers
     W = cfg.inner_dim
+    Dh = cfg.d_kv
     T = max_new_tokens
     interpret = jax.default_backend() == "cpu"
+    row = cfg.decode_attention_impl == "pallas"
+    attend = (functools.partial(decode_attention, interpret=interpret)
+              if row else decode_attention_reference)
 
     cross_k, cross_v = _precompute_cross_kv(params, cfg, encoder_hidden)
+    if not row:
+        # one-time head split (Lyrs, B, Lk, W) -> (Lyrs, B, H, Lk, Dh):
+        # a full-cache layout copy per decode call, amortized over the
+        # T per-step attentions that read it
+        def heads_of(a):
+            L = a.shape[2]
+            return jnp.transpose(
+                a.reshape(Lyrs, B, L, H, Dh), (0, 1, 3, 2, 4))
+        cross_k, cross_v = heads_of(cross_k), heads_of(cross_v)
     enc_kv_mask = (None if encoder_mask is None
                    else encoder_mask.astype(jnp.int32))
     # Full causal decoder position bias, sliced per step: (H, T, T).
@@ -580,7 +610,8 @@ def t5_greedy_decode(
         [dec["block"]["self_attn"]["q"], dec["block"]["self_attn"]["k"],
          dec["block"]["self_attn"]["v"]], axis=2)
 
-    self_k = jnp.zeros((Lyrs, B, T, W), encoder_hidden.dtype)
+    cache_shape = ((Lyrs, B, T, W) if row else (Lyrs, B, H, T, Dh))
+    self_k = jnp.zeros(cache_shape, encoder_hidden.dtype)
     self_v = jnp.zeros_like(self_k)
     tokens = jnp.full((B, T + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -606,26 +637,50 @@ def t5_greedy_decode(
         def pick(tree, li):
             return jax.tree.map(lambda a: a[li], tree)
 
+        def self_attention(li, q, k_new, v_new, self_k, self_v):
+            if row:
+                self_k = jax.lax.dynamic_update_slice(
+                    self_k, k_new[None, :, None, :], (li, 0, t, 0))
+                self_v = jax.lax.dynamic_update_slice(
+                    self_v, v_new[None, :, None, :], (li, 0, t, 0))
+                o = attend(q, self_k[li], self_v[li], bias=bias_row,
+                           kv_mask=None, heads=H, scale=1.0)
+                return o, self_k, self_v
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_new.reshape(B, H, Dh)[None, :, :, None, :],
+                (li, 0, 0, t, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_new.reshape(B, H, Dh)[None, :, :, None, :],
+                (li, 0, 0, t, 0))
+            o = multi_head_attention(
+                q.reshape(B, H, Dh)[:, :, None, :], self_k[li],
+                self_v[li], bias=bias_row[None, :, None, :],
+                causal=False, scale=1.0, impl="xla")
+            return jnp.transpose(o, (0, 2, 1, 3)).reshape(B, W), \
+                self_k, self_v
+
+        def cross_attention(li, q):
+            if row:
+                return attend(q, cross_k[li], cross_v[li], bias=None,
+                              kv_mask=enc_kv_mask, heads=H, scale=1.0)
+            o = multi_head_attention(
+                q.reshape(B, H, Dh)[:, :, None, :], cross_k[li],
+                cross_v[li], bias=None, kv_mask=enc_kv_mask,
+                causal=False, scale=1.0, impl="xla")
+            return jnp.transpose(o, (0, 2, 1, 3)).reshape(B, W)
+
         for li in range(Lyrs):
             p = pick(dec["block"], li)
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
             qkv = dense(h, qkv_w[li])  # (B, 3W)
             q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:])
-            self_k = jax.lax.dynamic_update_slice(
-                self_k, k_new[None, :, None, :], (li, 0, t, 0))
-            self_v = jax.lax.dynamic_update_slice(
-                self_v, v_new[None, :, None, :], (li, 0, t, 0))
-            o = decode_attention(q, self_k[li], self_v[li], bias=bias_row,
-                                 kv_mask=None, heads=H, scale=1.0,
-                                 interpret=interpret)
+            o, self_k, self_v = self_attention(
+                li, q, k_new, v_new, self_k, self_v)
             x = x + dense(o, p["self_attn"]["o"])
 
             h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
             q = dense(h, p["cross_attn"]["q"])
-            o = decode_attention(q, cross_k[li], cross_v[li], bias=None,
-                                 kv_mask=enc_kv_mask, heads=H, scale=1.0,
-                                 interpret=interpret)
-            x = x + dense(o, p["cross_attn"]["o"])
+            x = x + dense(cross_attention(li, q), p["cross_attn"]["o"])
 
             h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
             x = x + _ff_block(p["ff"], cfg, h)

@@ -17,6 +17,18 @@ fuses score + softmax + value-gather into one pass over the cache:
   * scores/softmax in fp32, never touching HBM;
   * the only HBM traffic is one full-bandwidth read of K and V.
 
+MEASURED OUTCOME (v5e, B=512, scripts/bench_variants.py): this loses to
+the XLA einsum path ~8x — the per-(block, head) ops are tiny and the
+kernel is sequencer/launch-bound, while XLA's window fusions, slow as
+they are per byte, pipeline across the whole step. An all-heads-at-once
+reformulation (0/1 indicator matmuls, 5 large ops/step) compiled but
+produced wrong results on-chip (Mosaic shape-cast miscompile at
+(Bb, T, ·)->(Bb·T, ·) with fp32 operands) AND was still slower — see
+docs/TPU_NOTES.md. The decode loop therefore defaults to
+``decode_attention_impl="xla"`` with head-layout caches; this kernel
+stays as the ``"pallas"`` option for other topologies and as the tested
+row-layout reference.
+
 Semantics match ``ops.attention._attention_xla`` with Lq=1: fp32 scores,
 additive fp32 bias, -1e9 key masking, exact softmax, probs cast to the
 value dtype for the PV contraction. Inference-only (the decode loop is
@@ -135,7 +147,10 @@ def decode_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
     """
     B, T, W = k.shape
     Dh = W // heads
-    if W % 128 != 0 and not interpret:
+    if (W % 128 != 0 or T < 16) and not interpret:
+        # W: lane alignment; T: Mosaic rejects the (Bb, T, ·) -> (Bb·T, ·)
+        # leading-dim collapse for tiny T (probed: T=5 fails, T>=16 ok —
+        # scripts/mosaic_probe.py)
         return decode_attention_reference(
             q, k, v, bias, kv_mask, heads=heads, scale=scale)
     # batch block: K+V rows for the block (~3 MB single-buffered; the

@@ -159,6 +159,15 @@ def row_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
 # ---------------------------------------------------------------------------
 
 
+# Images per grid step in the packed kernel (first candidate that divides
+# B and fits VMEM wins; module-level so benchmarks can sweep it).
+# EMPTY = one image per step: packing G>1 images measured ~26% SLOWER on
+# v5e at B=512 (53.2 vs 42.2 ms ViT tower, scripts/bench_variants.py) —
+# the statically unrolled G-loop serializes compute that Pallas otherwise
+# overlaps with the next grid step's block DMA.
+_PACK_G_CANDIDATES = ()
+
+
 def _make_packed_kernel(G, H, Dh, W, L, scale, has_bias, has_mask, causal):
     def kernel(*refs):
         qkv_ref = refs[0]
@@ -209,7 +218,7 @@ def _packed_forward(qkv, bias, kv_mask, heads, scale, interpret, causal):
     W = W3 // 3
     Dh = W // heads
     G = 1
-    for cand in (8, 4, 2):
+    for cand in _PACK_G_CANDIDATES:
         if B % cand == 0 and cand * L * W3 * 2 * 2 <= 2 * 1024 * 1024:
             G = cand
             break

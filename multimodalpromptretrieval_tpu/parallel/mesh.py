@@ -200,6 +200,33 @@ def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
     return jax.jit(step, **kwargs)
 
 
+def make_image_embed_prefix_step(cfg: mprgen.MPRGenConfig, *,
+                                 mesh: Optional[Mesh] = None):
+    """fn(params, images) -> (pooled CLIP embedding (B, E), T5 visual
+    prefix (B, P, d_model)) — ONE ViT trunk pass per image (token 0 of
+    ``clip_image_tokens`` is ``encode_image``). The serve path uses this
+    to share the trunk between retrieval queries and decode prefixes.
+    ViT towers only (``cfg.resnet is None``)."""
+    from multimodalpromptretrieval_tpu.models.clip import clip_image_tokens
+
+    def step(params, images):
+        params = mprgen.cast_compute(params, cfg)
+        if cfg.compute_dtype != "float32":
+            import jax.numpy as jnp
+
+            images = images.astype(jnp.dtype(cfg.compute_dtype))
+        tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+        return tokens[:, 0], mprgen.image_prefix_from_tokens(
+            params, cfg, tokens)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = (batch_sharding(mesh),
+                                   batch_sharding(mesh))
+    return jax.jit(step, **kwargs)
+
+
 def make_image_prefix_step(cfg: mprgen.MPRGenConfig, *,
                            mesh: Optional[Mesh] = None):
     """fn(params, images) -> (B, P, d_model) visual prefixes."""

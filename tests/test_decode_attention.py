@@ -87,3 +87,29 @@ def test_bf16_matches_reference_formula():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_decode_impls_produce_identical_tokens():
+    """cfg.decode_attention_impl picks the cache layout + attention path
+    (head-layout XLA vs row-layout Pallas); greedy ids must not depend on
+    it."""
+    import dataclasses
+
+    from multimodalpromptretrieval_tpu.models.t5 import (
+        T5Config,
+        init_t5,
+        t5_encode,
+        t5_greedy_decode,
+    )
+
+    cfg = T5Config.tiny()
+    params = init_t5(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(size=(3, 9, cfg.d_model)), jnp.float32)
+    mask = jnp.asarray(np.tri(3, 9, 7, dtype=np.int32)[:, ::-1].copy())
+    enc = t5_encode(params, cfg, embeds, mask)
+    xla = t5_greedy_decode(params, cfg, enc, mask, max_new_tokens=6)
+    row = t5_greedy_decode(
+        params, dataclasses.replace(cfg, decode_attention_impl="pallas"),
+        enc, mask, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(xla), np.asarray(row))

@@ -70,3 +70,25 @@ def test_server_without_retrieval(trained):
         assert len(answers) == 2
     finally:
         trained.retrieval_index = idx
+
+
+def test_server_staged_images_skip_upload_and_match(trained):
+    """stage_images caches device-side embedding/prefix tables; answers
+    must match the unstaged path, and the staged call must not read the
+    images argument at all."""
+    server = MPRServer(trained)
+    entries = (trained.dataset_test.entries * 2)[:9]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    cold = server.answer(images, questions, tasks, image_ids=ids)
+
+    server.stage_images(images, ids)
+    staged = server.answer(None, questions, tasks, image_ids=ids)
+    assert staged == cold
+
+    # unknown id -> falls back to encoding the provided images
+    extra_ids = ids[:-1] + ["never-staged"]
+    fallback = server.answer(images, questions, tasks, image_ids=extra_ids)
+    assert len(fallback) == len(questions)
