@@ -188,3 +188,25 @@ def test_sharded_retrieval_skip_first(mesh):
     assert np.all(np.asarray(d) > 1e-3)
     for row, qi in zip(np.asarray(i), range(10, 14)):
         assert qi not in row
+
+
+def test_image_embed_prefix_step_matches_separate_paths(mesh):
+    """The fused serve step (one ViT trunk pass) must reproduce
+    clip_encode_image and mprgen.image_prefix exactly."""
+    from multimodalpromptretrieval_tpu.models.clip import clip_encode_image
+
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    R = cfg.clip.image_resolution
+    images = jnp.asarray(rng.normal(size=(8, 3, R, R)), jnp.float32)
+
+    emb, prefix = pmesh.make_image_embed_prefix_step(cfg)(params, images)
+    ref_emb = jax.jit(lambda p, x: clip_encode_image(p["clip"], cfg.clip,
+                                                     x))(params, images)
+    ref_prefix = jax.jit(lambda p, x: mprgen.image_prefix(p, cfg, x))(
+        params, images)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(prefix), np.asarray(ref_prefix),
+                               rtol=1e-6, atol=1e-6)
