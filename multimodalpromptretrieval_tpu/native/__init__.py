@@ -31,7 +31,8 @@ _tried = False
 
 def build_library(force: bool = False) -> Optional[str]:
     """Compile the shared library if needed; returns its path or None."""
-    srcs = [os.path.join(_DIR, s) for s in ("fuzzy.cpp", "viterbi.cpp")]
+    srcs = [os.path.join(_DIR, s)
+            for s in ("fuzzy.cpp", "viterbi.cpp", "clip_bpe.cpp")]
     if not force and os.path.exists(_LIB_PATH) and all(
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
             for s in srcs):
@@ -74,6 +75,17 @@ def get_library():
             lib.mpr_spm_free.argtypes = [ctypes.c_void_p]
             lib.mpr_spm_encode.restype = ctypes.c_int32
             lib.mpr_spm_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.mpr_bpe_create.restype = ctypes.c_void_p
+            lib.mpr_bpe_create.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.mpr_bpe_free.restype = None
+            lib.mpr_bpe_free.argtypes = [ctypes.c_void_p]
+            lib.mpr_bpe_encode.restype = ctypes.c_int32
+            lib.mpr_bpe_encode.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             _lib = lib
@@ -157,4 +169,55 @@ class NativeViterbi:
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:
             self._lib.mpr_spm_free(self._handle)
+            self._handle = None
+
+
+# ---------------------------------------------------------------------------
+# Native CLIP BPE encoder
+# ---------------------------------------------------------------------------
+
+
+class NativeBPE:
+    """Handle to the C++ CLIP-BPE fast path (native/clip_bpe.cpp).
+
+    ``encode`` returns None when the input needs the exact Python path
+    (non-ASCII, '&', special-token literals) — callers must fall back to
+    text/clip_bpe.CLIPBPETokenizer.encode, never approximate."""
+
+    def __init__(self, vocab: Sequence[str], merges: Sequence[tuple]):
+        lib = get_library()
+        self._lib = lib
+        self._handle = None
+        if lib is None:
+            return
+        vb = [v.encode() for v in vocab]
+        voff = [0]
+        for b in vb:
+            voff.append(voff[-1] + len(b))
+        mb = [(a + "\x01" + b).encode() for a, b in merges]
+        moff = [0]
+        for b in mb:
+            moff.append(moff[-1] + len(b))
+        self._handle = lib.mpr_bpe_create(
+            b"".join(vb), (ctypes.c_int32 * len(voff))(*voff), len(vb),
+            b"".join(mb), (ctypes.c_int32 * len(moff))(*moff), len(mb))
+        self._out = (ctypes.c_int32 * 1024)()
+
+    @property
+    def available(self) -> bool:
+        return self._handle is not None
+
+    def encode(self, text: str) -> Optional[List[int]]:
+        try:
+            raw = text.encode()
+        except UnicodeEncodeError:
+            return None
+        cnt = self._lib.mpr_bpe_encode(self._handle, raw, self._out, 1024)
+        if cnt < 0:
+            return None
+        return list(self._out[:cnt])
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib is not None:
+            self._lib.mpr_bpe_free(self._handle)
             self._handle = None

@@ -75,6 +75,12 @@ class CLIPBPETokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        # C++ fast path for ASCII inputs (~20x; the serve-profile hot
+        # spot); inputs it cannot reproduce exactly return None and take
+        # the Python path below
+        from multimodalpromptretrieval_tpu.native import NativeBPE
+
+        self._native = NativeBPE(vocab, merges)
 
     # -- constructors ---------------------------------------------------------
 
@@ -146,6 +152,13 @@ class CLIPBPETokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        if self._native.available:
+            ids = self._native.encode(text)
+            if ids is not None:
+                return ids
+        return self._encode_py(text)
+
+    def _encode_py(self, text: str) -> List[int]:
         ids: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
         for tok in re.findall(_PAT, text):

@@ -95,3 +95,50 @@ def test_dataset_closest_label_uses_native(tmp_path):
     ds.add_labels({"lung": 0, "heart": 1, "liver": 2})
     assert ds.get_closest_label("lun") == 0
     assert ds.get_closest_label("hart") == 1
+
+
+@requires_native
+def test_native_bpe_matches_python():
+    """C++ CLIP-BPE fast path == Python reference on a merged vocab,
+    including regex corner cases; non-ASCII / '&' / special literals must
+    fall back (return None)."""
+    import random
+    import string
+
+    from multimodalpromptretrieval_tpu.text.clip_bpe import (
+        CLIPBPETokenizer,
+        bytes_to_unicode,
+    )
+
+    base = list(bytes_to_unicode().values())
+    merges = [("t", "h"), ("th", "e</w>"), ("i", "s</w>"), ("a", "n"),
+              ("an", "d</w>"), ("l", "u"), ("lu", "n"), ("lun", "g</w>"),
+              ("r", "i"), ("ri", "g"), ("rig", "h"), ("righ", "t</w>"),
+              ("x", "-"), ("'", "s</w>"), (".", "."), ("..", ".</w>")]
+    vocab = base + [v + "</w>" for v in base]
+    vocab += ["".join(m) for m in merges]
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    tok = CLIPBPETokenizer(vocab, merges)
+    assert tok._native.available
+
+    cases = [
+        "What organ is shown in the x-ray?", "the lung's right side",
+        "don't we'll it's they're we've he'd", "a 23 4", "  TABS\t and\n",
+        "'x '' ... (left) --", "th the thethe lung righteous",
+    ]
+    rng = random.Random(7)
+    for _ in range(500):
+        cases.append("".join(
+            rng.choice(string.printable[:95]) for _ in range(
+                rng.randint(0, 40))))
+    for t in cases:
+        if "&" in t or "<|" in t:
+            continue
+        got = tok._native.encode(t)
+        assert got is not None, t
+        assert got == tok._encode_py(t), repr(t)
+
+    for t in ["café", "a&b", "<|endoftext|>", "x & y"]:
+        assert tok._native.encode(t) is None
+        # tokenizer-level encode still works via the Python fallback
+        assert tok.encode(t) == tok._encode_py(t)
