@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
 from multimodalpromptretrieval_tpu.ops.decode_attention import (
     decode_attention,
+    decode_attention_indicator,
     decode_attention_reference,
 )
 from multimodalpromptretrieval_tpu.ops.layers import dense, gelu_new, rms_norm
@@ -68,7 +69,11 @@ class T5Config:
     # flat-2D kernel is sequencer-bound at Lq=1 (12 tiny grid launches
     # per step) — so "xla" is the default; "pallas" stays available for
     # re-evaluation on other topologies.
-    decode_attention_impl: str = "xla"  # "xla" | "pallas"
+    # "indicator" (row caches + 0/1 head-indicator MXU dots; measured
+    # 37.3 -> 23.9 ms per 20-step B=512 decode on v5e, greedy ids
+    # identical) | "xla" (head-layout caches + einsum; the parity
+    # reference) | "pallas" (fused row kernel; sequencer-bound here)
+    decode_attention_impl: str = "indicator"
     remat: bool = False  # jax.checkpoint each layer (activation recompute)
 
     @property
@@ -568,13 +573,16 @@ def t5_greedy_decode(
     the compute-dtype logits. ``cfg.decode_attention_impl`` picks the
     per-step attention + cache layout:
 
-      * "xla" (default): head-layout (B, H, T, Dh) caches + the XLA
-        einsum — the measured winner on v5e (48 vs 56 ms for 20 steps at
-        B=512; the head split costs one layout copy of the cross K/V per
-        call but the per-step einsums tile better, docs/TPU_NOTES.md);
-      * "pallas": row-layout (B, T, W) caches + the fused single-query
-        Pallas kernel (ops/decode_attention.py) — kept for re-evaluation
-        on other topologies; measured launch-overhead-bound here.
+      * "indicator" (default): row-layout (B, T, W) caches + 0/1
+        head-indicator MXU dots (ops/decode_attention.py) — the measured
+        winner on v5e (23.9 vs 37.3 ms for 20 steps at B=512, greedy ids
+        identical). Kills both the kLoop matvec fusions (~92 us each,
+        >half the step) and the cross-K/V head-split copies;
+      * "xla": head-layout (B, H, T, Dh) caches + the XLA einsum — the
+        parity reference (exact _attention_xla semantics);
+      * "pallas": row-layout caches + the fused single-query Pallas
+        kernel — kept for re-evaluation on other topologies; measured
+        sequencer-bound here (docs/TPU_NOTES.md).
     """
     dec = params["decoder"]
     B = encoder_hidden.shape[0]
@@ -583,9 +591,13 @@ def t5_greedy_decode(
     Dh = cfg.d_kv
     T = max_new_tokens
     interpret = jax.default_backend() == "cpu"
-    row = cfg.decode_attention_impl == "pallas"
-    attend = (functools.partial(decode_attention, interpret=interpret)
-              if row else decode_attention_reference)
+    row = cfg.decode_attention_impl in ("pallas", "indicator")
+    if cfg.decode_attention_impl == "pallas":
+        attend = functools.partial(decode_attention, interpret=interpret)
+    elif cfg.decode_attention_impl == "indicator":
+        attend = decode_attention_indicator
+    else:
+        attend = decode_attention_reference
 
     cross_k, cross_v = _precompute_cross_kv(params, cfg, encoder_hidden)
     if not row:

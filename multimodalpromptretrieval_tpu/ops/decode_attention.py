@@ -21,13 +21,15 @@ MEASURED OUTCOME (v5e, B=512, scripts/bench_variants.py): this loses to
 the XLA einsum path ~8x — the per-(block, head) ops are tiny and the
 kernel is sequencer/launch-bound, while XLA's window fusions, slow as
 they are per byte, pipeline across the whole step. An all-heads-at-once
-reformulation (0/1 indicator matmuls, 5 large ops/step) compiled but
+reformulation (0/1 indicator matmuls) inside Pallas compiled but
 produced wrong results on-chip (Mosaic shape-cast miscompile at
 (Bb, T, ·)->(Bb·T, ·) with fp32 operands) AND was still slower — see
-docs/TPU_NOTES.md. The decode loop therefore defaults to
-``decode_attention_impl="xla"`` with head-layout caches; this kernel
-stays as the ``"pallas"`` option for other topologies and as the tested
-row-layout reference.
+docs/TPU_NOTES.md. The same indicator-matmul idea expressed in PLAIN XLA
+(``decode_attention_indicator`` below) is the one that wins: 23.9 vs
+37.3 ms for a 20-step B=512 decode, greedy ids identical — now the
+default (``T5Config.decode_attention_impl="indicator"``). This Pallas
+kernel stays as the ``"pallas"`` option for other topologies and as the
+tested row-layout reference.
 
 Semantics match ``ops.attention._attention_xla`` with Lq=1: fp32 scores,
 additive fp32 bias, -1e9 key masking, exact softmax, probs cast to the
@@ -71,6 +73,61 @@ def decode_attention_reference(q, k, v, bias=None, kv_mask=None, *,
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     o = jnp.einsum("bht,bthd->bhd", p, vh)
     return o.reshape(B, W)
+
+
+def decode_attention_indicator(q, k, v, bias=None, kv_mask=None, *,
+                               heads: int, scale: float = 1.0):
+    """Single-query attention on row-layout caches via 0/1 head-indicator
+    GEMMs — pure XLA, no head splits, no batched matvecs.
+
+    The head-layout einsum path compiles each per-step q.Kt / P.V to a
+    kLoop window fusion (~92 us for ~2.6 MFLOP — the dominant decode
+    cost, see t5.t5_greedy_decode). Here the caches stay (B, T, W) rows
+    (killing the cross-K/V head-split copies too) and the per-head
+    reductions become two MXU dots against a constant (W, H) indicator:
+
+      scores[b,t,h] = sum_w (q[b,w]*k[b,t,w]) * seg[w,h]
+      out[b,w]      = sum_t (p @ seg.T)[b,t,w] * v[b,t,w]
+
+    The elementwise (B, T, W) passes keep the full 512-lane width, so
+    nothing runs off the fast path. fp32 products/accumulation; probs
+    rounded to the value dtype before the PV pass — the same semantics
+    as ``decode_attention_reference`` (parity: tests/test_decode_attention).
+
+    q: (B, W); k, v: (B, T, W); bias: (H, T); kv_mask: (B, T) -> (B, W).
+    """
+    B, T, W = k.shape
+    H = heads
+    Dh = W // H
+    # 0/1 indicator: exact in any dtype (one nonzero per row/column)
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (W, H), 0) // Dh
+           == jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+           ).astype(q.dtype)
+    # (B, T, W) intermediates stay in the compute dtype — the HBM-traffic
+    # floor per layer is one bf16 pass over K and one over V; under bf16
+    # the per-element q*k products round once before the fp32-accumulated
+    # indicator dot (the reference's MXU keeps them exact), the ONLY
+    # deviation from decode_attention_reference. The PV side is exact:
+    # p_exp is a 0/1 scatter of p (value-copying), and its products
+    # against V accumulate in fp32 like the reference einsum.
+    prod = q[:, None, :] * k.astype(q.dtype)
+    s = jax.lax.dot_general(
+        prod.reshape(B * T, W), seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(B, T, H)
+    s = s.astype(q.dtype).astype(jnp.float32)  # reference rounding point
+    if scale != 1.0:
+        s = s * scale
+    if bias is not None:
+        s = s + jnp.transpose(bias)[None].astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, :, None] != 0, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=1)  # over T
+    p = p.astype(q.dtype)  # reference rounding point
+    p_exp = jax.lax.dot_general(
+        p.reshape(B * T, H), seg, (((1,), (1,)), ((), ())),
+        preferred_element_type=q.dtype).reshape(B, T, W)
+    o = jnp.sum(p_exp.astype(jnp.float32) * v.astype(jnp.float32), axis=1)
+    return o.astype(q.dtype)
 
 
 def _make_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):

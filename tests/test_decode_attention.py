@@ -19,6 +19,7 @@ from multimodalpromptretrieval_tpu.ops.attention import (  # noqa: E402
 )
 from multimodalpromptretrieval_tpu.ops.decode_attention import (  # noqa: E402
     decode_attention,
+    decode_attention_indicator,
     decode_attention_reference,
 )
 
@@ -55,9 +56,12 @@ def test_kernel_matches_reference(has_bias, has_mask, B, T, W, H):
         mask = mask.at[:, 0].set(1)  # at least one valid key per row
     got = decode_attention(q, k, v, bias, mask, heads=H, scale=0.5,
                            interpret=True)
+    ind = decode_attention_indicator(q, k, v, bias, mask, heads=H, scale=0.5)
     ref = decode_attention_reference(q, k, v, bias, mask, heads=H, scale=0.5)
     oracle = _mha_oracle(q, k, v, bias, mask, H, 0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ind), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(oracle),
                                rtol=1e-5, atol=1e-5)
@@ -91,8 +95,8 @@ def test_bf16_matches_reference_formula():
 
 def test_decode_impls_produce_identical_tokens():
     """cfg.decode_attention_impl picks the cache layout + attention path
-    (head-layout XLA vs row-layout Pallas); greedy ids must not depend on
-    it."""
+    (head-layout XLA einsum vs row-layout Pallas kernel vs row-layout
+    indicator dots); greedy ids must not depend on it."""
     import dataclasses
 
     from multimodalpromptretrieval_tpu.models.t5 import (
@@ -108,8 +112,11 @@ def test_decode_impls_produce_identical_tokens():
     embeds = jnp.asarray(rng.normal(size=(3, 9, cfg.d_model)), jnp.float32)
     mask = jnp.asarray(np.tri(3, 9, 7, dtype=np.int32)[:, ::-1].copy())
     enc = t5_encode(params, cfg, embeds, mask)
-    xla = t5_greedy_decode(params, cfg, enc, mask, max_new_tokens=6)
-    row = t5_greedy_decode(
-        params, dataclasses.replace(cfg, decode_attention_impl="pallas"),
-        enc, mask, max_new_tokens=6)
-    np.testing.assert_array_equal(np.asarray(xla), np.asarray(row))
+    outs = [
+        np.asarray(t5_greedy_decode(
+            params, dataclasses.replace(cfg, decode_attention_impl=impl),
+            enc, mask, max_new_tokens=6))
+        for impl in ("xla", "pallas", "indicator")
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
