@@ -49,15 +49,15 @@ def build(preset: str, dtype_name: str, batch: int, seq_len: int,
     import dataclasses
 
     if preset == "full":
-        t5 = T5Config.t5_small()
-        # "row": 2-D-flattened tower + row-layout Pallas attention — ~22%
-        # faster ViT on TPU, fp32-identical (tests/test_clip_parity.py)
-        # vision "row" / text "xla": the measured-best split on v5e
-        # (scripts/bench_variants.py — the packed kernel loses at text
-        # lengths, docs/TPU_NOTES.md)
+        # "row": 2-D-flattened towers + row-layout Pallas attention —
+        # measured faster for the ViT (~22%), the text tower (13.9 vs
+        # 15.5 ms) and the T5 encoder (17.6 vs 19.6 ms) after the
+        # fused-norm rework; fp32-identical (tests/test_clip_parity.py,
+        # tests/test_t5_parity.py; scripts/bench_components.py)
+        t5 = dataclasses.replace(T5Config.t5_small(),
+                                 attention_impl="row")
         clip = dataclasses.replace(CLIPConfig.vit_b32(),
-                                   attention_impl="row",
-                                   text_attention_impl="xla")
+                                   attention_impl="row")
     else:
         t5 = T5Config(vocab_size=4096, d_model=128, d_kv=32, d_ff=256,
                       num_layers=2, num_decoder_layers=2, num_heads=4)
@@ -176,9 +176,13 @@ def _bench_experiment(args, data_dir: str, tiny: bool):
                            else 8, epochs=1, retrieval=True, k=args.k,
                            image_size=size)
     if not tiny:  # full t5-small + ViT-B/32 (the north-star config)
-        del cfg["t5_overrides"]
-        cfg["clip_overrides"] = {"attention_impl": "row",
-                                 "text_attention_impl": "xla"}
+        # row paths everywhere: re-measured after the fused-norm/kernel
+        # default changes, row now wins the text tower (13.9 vs 15.5 ms)
+        # and the T5 encoder (17.6 vs 19.6 ms) too (scripts/
+        # bench_components.py, 30 iters; parity: tests/test_clip_parity,
+        # tests/test_t5_parity)
+        cfg["t5_overrides"] = {"attention_impl": "row"}
+        cfg["clip_overrides"] = {"attention_impl": "row"}
         cfg["compute_dtype"] = ("bfloat16" if args.dtype == "bf16"
                                 else "float32")
     else:

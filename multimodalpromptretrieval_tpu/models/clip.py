@@ -50,11 +50,12 @@ class CLIPConfig:
     # head counts default to the CLIP convention (width / 64)
     vision_heads_override: int = 0
     text_heads_override: int = 0
-    # execution; the text tower gets its own knob because the row path's
-    # win is vision-shaped — at text lengths (L<=32 after EOT truncation)
-    # the packed kernel measures SLOWER than XLA on v5e (20.1 vs 16.2 ms
-    # at B=512, docs/TPU_NOTES.md), so "row" configs should usually pair
-    # with text_attention_impl="xla"
+    # execution; the text tower keeps its own knob for ablation. Early
+    # r2 measurements had the packed kernel SLOWER at text lengths
+    # (20.1 vs 16.2 ms at B=512), but after the fused-norm/kernel-default
+    # rework "row" wins there too (13.9 vs 15.5 ms,
+    # scripts/bench_components.py) — serving configs now use "row" for
+    # both towers (bench.py, docs/TPU_NOTES.md)
     attention_impl: str = "xla"
     text_attention_impl: str = ""  # "" -> follow attention_impl
 
