@@ -410,9 +410,20 @@ def t5_decode_train(
 
     if cfg.remat:
         layer = jax.checkpoint(layer)
-    (x, _), _ = jax.lax.scan(
-        layer, (x, None if dropout_rng is None
-                else jax.random.fold_in(dropout_rng, 2)), dec["block"])
+    rng0 = (None if dropout_rng is None
+            else jax.random.fold_in(dropout_rng, 2))
+    if cfg.attention_impl == "row":
+        # TPU fast path: statically unrolled layers — under lax.scan the
+        # dynamically-sliced weights force the windowed batched-GEMM
+        # emitter (~6% peak; the same pathology as the ViT scan,
+        # docs/TPU_NOTES.md). Same math/rng stream as the scan below.
+        carry = (x, rng0)
+        for li in range(cfg.num_decoder_layers):
+            carry, _ = layer(carry, jax.tree.map(
+                lambda a, li=li: a[li], dec["block"]))
+        x = carry[0]
+    else:
+        (x, _), _ = jax.lax.scan(layer, (x, rng0), dec["block"])
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
     x = _dropout(x, rate, None if dropout_rng is None
                  else jax.random.fold_in(dropout_rng, 3))

@@ -180,9 +180,18 @@ class RetrievalIndex:
             return out
         if return_dists:
             return list(zip(answers, np.asarray(dists)))
+        return self.format_prompts(idx, use_quantifier=use_quantifier)
+
+    def format_prompts(self, idx, *, use_quantifier: bool = True):
+        """Host half of the default (prompt) :meth:`retrieve` mode:
+        majority vote + quantifier bucket over top-k indices. Split out
+        so serving can dispatch :meth:`topk` per chunk and defer this
+        (and the device fetch it implies) to the pipelined consume step
+        (serve.MPRServer.answer)."""
         prompts = []
-        for row in answers:
-            pred, certainty = majority_vote(row)
+        for row in np.asarray(idx):
+            pred, certainty = majority_vote(
+                [self.answers[j] for j in row])
             if use_quantifier:
                 prompts.append(
                     f"I believe the answer is {quantifier_bucket(certainty)}"

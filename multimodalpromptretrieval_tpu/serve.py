@@ -101,22 +101,16 @@ class MPRServer:
         resident). Re-staging replaces the cache."""
         self._staged = self._encode_unique(images, image_ids)
 
-    def _hints_from_embeddings(self, emb_dev, rowmap: np.ndarray,
-                               questions: Sequence[str]) -> List[str]:
-        """Retrieval hints from the device-side image-embedding table;
-        only the text tower runs (batched at the compiled serving batch).
-        The (N, E_img + E_txt) query concat happens on device."""
+    def _ensure_text_step(self):
         import jax
 
         from multimodalpromptretrieval_tpu.models.clip import (
             clip_encode_text,
-            truncate_text_ids,
         )
         from multimodalpromptretrieval_tpu.models.mprgen import cast_compute
 
-        exp = self.exp
         if self._text_embed_step is None:
-            mcfg = exp.model_cfg
+            mcfg = self.exp.model_cfg
 
             @jax.jit
             def text_step(params, ids):
@@ -124,25 +118,34 @@ class MPRServer:
                 return clip_encode_text(clip, mcfg.clip, ids)
 
             self._text_embed_step = text_step
-        ids = truncate_text_ids(
-            exp.clip_tokenizer.tokenize(list(questions)))
+        return self._text_embed_step
+
+    def _dispatch_chunk_retrieval(self, questions: Sequence[str],
+                                  emb_dev, rows: np.ndarray):
+        """Dispatch ONE chunk's retrieval work to the device — text tower
+        over the chunk's questions, (img ⊕ txt) query concat from the
+        device-side image-embedding table, fused L2 top-k — and return
+        the (k_valid, device indices) WITHOUT fetching. The host half
+        (majority vote + hint formatting, which forces the fetch) runs in
+        the pipelined consume step of :meth:`answer`, overlapped with the
+        previous chunk's predict."""
+        from multimodalpromptretrieval_tpu.models.clip import (
+            truncate_text_ids,
+        )
+
+        exp = self.exp
         B = exp.batch_size
-        txt = []
-        for s in range(0, len(ids), B):
-            chunk = ids[s:s + B]
-            k = len(chunk)
-            if k < B:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], B - k, axis=0)])
-            txt.append(self._text_embed_step(
-                exp.params, jnp.asarray(chunk))[:k])
-        img = jnp.take(emb_dev, jnp.asarray(rowmap), axis=0)
-        q = jnp.concatenate(
-            [img.astype(jnp.float32),
-             (jnp.concatenate(txt) if len(txt) > 1
-              else txt[0]).astype(jnp.float32)], axis=1)
-        return exp.retrieval_index.retrieve(
-            q, use_quantifier=exp.use_quantifier, k=exp.k)
+        ids = truncate_text_ids(exp.clip_tokenizer.tokenize(list(questions)))
+        k = len(ids)
+        if k < B:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], B - k, axis=0)])
+            rows = np.concatenate([rows, np.repeat(rows[-1:], B - k)])
+        txt = self._ensure_text_step()(exp.params, jnp.asarray(ids))
+        img = jnp.take(emb_dev, jnp.asarray(rows), axis=0)
+        q = jnp.concatenate([img.astype(jnp.float32),
+                             txt.astype(jnp.float32)], axis=1)
+        _, idx = exp.retrieval_index.topk(q, k=exp.k)
+        return k, idx
 
     def answer(self, images: np.ndarray, questions: Sequence[str],
                tasks: Optional[Sequence[str]] = None,
@@ -153,9 +156,19 @@ class MPRServer:
         ``image_ids`` (optional): a stable id per row; rows sharing an id
         share one upload + ViT pass, and ids previously passed to
         :meth:`stage_images` skip the image wire entirely (``images`` may
-        then be anything indexable — it is not touched). Batches are
-        dispatched with one in flight so host decode overlaps device
-        compute.
+        then be anything indexable — it is not touched).
+
+        The generative-prefix path runs a per-chunk software pipeline:
+        chunk i+1's retrieval (text tower + device top-k) is dispatched
+        before chunk i's top-k is fetched, and chunk i's predict runs on
+        device while the host formats hints / re-tokenizes chunk i+1 and
+        detokenizes chunk i-1, so per-request host work (~40 ms of a
+        300 ms steady call: majority vote + SPM encode + detok) hides
+        behind device compute. On a co-located host this is a straight
+        win; through this environment's tunnel the two extra per-chunk
+        result fetches each pay the fixed ~26 ms round-trip
+        (docs/TPU_NOTES.md), which offsets the overlap — measured
+        neutral there (5.4k QA/s either way).
         """
         from multimodalpromptretrieval_tpu.data.batching import (
             bucket_width,
@@ -175,6 +188,8 @@ class MPRServer:
         # variants (BAN / prediction head / ResNet tower) take the plain
         # per-batch image path.
         use_prefix = needs_image and not classify and mcfg.resnet is None
+        starts = list(range(0, n, B))
+        rowmap = pref_dev = None
         if use_prefix:
             ids_for_dedup = (list(image_ids) if image_ids is not None
                              else list(range(n)))
@@ -185,29 +200,36 @@ class MPRServer:
                 pos, emb_dev, pref_dev = self._encode_unique(
                     images, ids_for_dedup)
             rowmap = np.asarray([pos[i] for i in ids_for_dedup])
-            hints = (self._hints_from_embeddings(emb_dev, rowmap,
-                                                 questions)
-                     if exp.retrieval_index is not None
-                     else ["" for _ in questions])
-        else:
-            hints = self._hints(images, questions)
-        rows = [
-            exp.tokenizer.encode(
-                f"Answer the {t} question: " + q + h,
-                max_length=mcfg.max_source_length)
-            for q, t, h in zip(questions, tasks, hints)
-        ]
-        if use_prefix:
             if self._prefix_predict is None:
                 self._prefix_predict = pmesh.make_prefix_predict_step(
                     mcfg, max_new_tokens=self.max_new_tokens,
                     mesh=exp.mesh)
             step = self._prefix_predict
+            hints = None  # produced chunk-by-chunk in the pipeline below
         else:
+            hints = self._hints(images, questions)
             step = self._predict
 
-        def dispatch(s: int):
-            chunk = rows[s:s + B]
+        def chunk_hints(s: int):
+            """Dispatch retrieval for the chunk at ``s`` (device, async);
+            the returned thunk fetches + formats the hints."""
+            if not use_prefix or exp.retrieval_index is None:
+                h = (hints[s:s + B] if hints is not None
+                     else [""] * min(B, n - s))
+                return lambda: h
+            kv, idx = self._dispatch_chunk_retrieval(
+                questions[s:s + B], emb_dev, rowmap[s:s + B])
+            return lambda: exp.retrieval_index.format_prompts(
+                idx[:kv], use_quantifier=exp.use_quantifier)
+
+        def dispatch(s: int, chunk_h: List[str]):
+            chunk = [
+                exp.tokenizer.encode(
+                    f"Answer the {t} question: " + q + h,
+                    max_length=mcfg.max_source_length)
+                for q, t, h in zip(questions[s:s + B], tasks[s:s + B],
+                                   chunk_h)
+            ]
             k = len(chunk)
             pad = list(range(s, s + k)) + [s + k - 1] * (B - k)
             chunk = chunk + [chunk[-1]] * (B - k)
@@ -224,12 +246,12 @@ class MPRServer:
                 batch["images"] = np.asarray(images[pad], np.float32)
             return step(exp.params, exp.device_batch_from(batch)), k
 
+        # Software pipeline over chunks: retrieval for chunk i+1 is on
+        # the device queue before chunk i's top-k is fetched, and chunk
+        # i's predict is in flight while the host consumes chunk i-1.
         out: List[str] = []
-        starts = list(range(0, n, B))
-        pending = [dispatch(starts[0])] if starts else []
-        for i, s in enumerate(starts):
-            if i + 1 < len(starts):
-                pending.append(dispatch(starts[i + 1]))
+
+        def consume(pending):
             preds, k = pending.pop(0)
             for row in np.asarray(preds)[:k]:
                 if classify:  # BAN / prediction-head: class id -> answer
@@ -237,4 +259,15 @@ class MPRServer:
                 else:
                     out.append(exp.tokenizer.decode(
                         row, skip_special_tokens=True))
+
+        rpend = [chunk_hints(starts[0])] if starts else []
+        ppend = []
+        for i, s in enumerate(starts):
+            if i + 1 < len(starts):
+                rpend.append(chunk_hints(starts[i + 1]))
+            ppend.append(dispatch(s, rpend.pop(0)()))
+            if len(ppend) > 1:
+                consume(ppend)
+        while ppend:
+            consume(ppend)
         return out
