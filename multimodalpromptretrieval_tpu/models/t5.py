@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
 from multimodalpromptretrieval_tpu.ops.decode_attention import (
     decode_attention,
+    decode_attention_fused,
     decode_attention_indicator,
     decode_attention_reference,
 )
@@ -602,9 +603,12 @@ def t5_greedy_decode(
     Dh = cfg.d_kv
     T = max_new_tokens
     interpret = jax.default_backend() == "cpu"
-    row = cfg.decode_attention_impl in ("pallas", "indicator")
+    row = cfg.decode_attention_impl in ("pallas", "indicator", "fused")
     if cfg.decode_attention_impl == "pallas":
         attend = functools.partial(decode_attention, interpret=interpret)
+    elif cfg.decode_attention_impl == "fused":
+        attend = functools.partial(decode_attention_fused,
+                                   interpret=interpret)
     elif cfg.decode_attention_impl == "indicator":
         attend = decode_attention_indicator
     else:

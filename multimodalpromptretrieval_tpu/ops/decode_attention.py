@@ -238,3 +238,129 @@ def decode_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
         out_shape=jax.ShapeDtypeStruct((B, W), q.dtype),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# One-pass fused indicator kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
+    """Full-lane-width formulation of :func:`decode_attention_indicator`
+    inside one kernel: the (Bb·T, W) flats (query replication via an exact
+    0/1 R-matmul, q⊙K products, the head-indicator score/expansion dots
+    and the R**T segment-sum) all keep 512 lanes on the MXU/VPU; only the
+    8 per-head softmaxes touch narrow data. Every reshape is a leading-dim
+    collapse/split (probed OK in bf16, scripts/mosaic_probe.py)."""
+    def kernel(*refs):
+        i = 3
+        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        mask_ref = refs[i] if has_mask else None
+        i += 1 if has_mask else 0
+        o_ref = refs[i]
+
+        q = q_ref[...]
+        dt = q.dtype
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Bb * T, Bb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Bb * T, Bb), 1)
+        R = (rows // T == cols).astype(dt)  # exact replication matrix
+        # Mosaic requires 32-bit matmul accumulators; the 0/1 matmuls
+        # copy values exactly, so the fp32->dt casts are lossless
+        qr = jax.lax.dot_general(
+            R, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        kf = k_ref[...].reshape(Bb * T, W)
+        prod = qr * kf  # dt products (the indicator path's one rounding)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+        seg = (wi // Dh == hi).astype(dt)
+        s8 = jax.lax.dot_general(
+            prod, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Bb*T, H)
+        mask_add = None
+        if mask_ref is not None:
+            mask_add = (1.0 - mask_ref[...].astype(jnp.float32)) * _NEG_INF
+        cols_p = []
+        for h in range(H):
+            s = s8[:, h:h + 1].reshape(Bb, T)
+            s = s.astype(dt).astype(jnp.float32)  # reference rounding
+            if scale != 1.0:
+                s = s * scale
+            if bias_ref is not None:
+                s = s + bias_ref[h:h + 1, :].astype(jnp.float32)
+            if mask_add is not None:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            cols_p.append(p.astype(dt).reshape(Bb * T, 1))
+        p8 = jnp.concatenate(cols_p, axis=1)  # (Bb*T, H) value-exact
+        p_exp = jax.lax.dot_general(
+            p8, seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)  # exact copy
+        pv = (p_exp.astype(jnp.float32)
+              * v_ref[...].reshape(Bb * T, W).astype(jnp.float32))
+        o_ref[...] = jax.lax.dot_general(
+            R.astype(jnp.float32), pv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "interpret"))
+def decode_attention_fused(q, k, v, bias=None, kv_mask=None, *, heads: int,
+                           scale: float = 1.0, interpret: bool = False):
+    """One-pass fused single-query attention (indicator formulation).
+
+    Same signature/semantics as :func:`decode_attention` /
+    :func:`decode_attention_indicator`: q (B, W), k/v (B, T, W) row
+    caches, bias (H, T), kv_mask (B, T) -> (B, W). K and V cross HBM
+    exactly once; the XLA indicator path pays ~3x that in materialized
+    (B, T, W) intermediates.
+
+    MEASURED OUTCOME (v5e, 20-step B=512 decode inside the real
+    while_loop): 96.8 ms vs 24.0 ms for the XLA indicator path, greedy
+    ids identical. Like the per-head kernel above, per-step work at
+    these shapes is too small to amortize Mosaic kernel overhead, even
+    with every op at full lane width — HBM traffic is NOT the binding
+    constraint XLA-side. Kept as the tested third formulation
+    (``decode_attention_impl="fused"``); the default stays "indicator".
+    """
+    B, T, W = k.shape
+    Dh = W // heads
+    if (W % 128 != 0 or T < 16) and not interpret:
+        return decode_attention_reference(
+            q, k, v, bias, kv_mask, heads=heads, scale=scale)
+    # block budget: K+V bf16 blocks + two (Bb*T, W) dt flats + one fp32
+    # flat ~= 8 * Bb * T * W bytes, plus double-buffered K/V pipelines;
+    # ~5 MB keeps the worst case (cross-attention T=64) under the 16 MB
+    # scoped-VMEM limit (probed: 8 MB budget OOMs at 17.5 MB there)
+    bb = max(1, min(B, (5 * 1024 * 1024) // (8 * T * W)))
+    while B % bb:
+        bb -= 1
+    kern = _make_fused_kernel(bb, T, W, heads, Dh, scale, bias is not None,
+                              kv_mask is not None)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    qspec = pl.BlockSpec((bb, W), lambda b: (b, 0), memory_space=mem)
+    kvspec = pl.BlockSpec((bb, T, W), lambda b: (b, 0, 0), memory_space=mem)
+    in_specs = [qspec, kvspec, kvspec]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((heads, T), lambda b: (0, 0),
+                                     memory_space=mem))
+        args.append(bias)
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((bb, T), lambda b: (b, 0),
+                                     memory_space=mem))
+        args.append(kv_mask.astype(jnp.int32))
+    return pl.pallas_call(
+        kern,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, W), q.dtype),
+        interpret=interpret,
+    )(*args)

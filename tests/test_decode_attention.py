@@ -19,6 +19,7 @@ from multimodalpromptretrieval_tpu.ops.attention import (  # noqa: E402
 )
 from multimodalpromptretrieval_tpu.ops.decode_attention import (  # noqa: E402
     decode_attention,
+    decode_attention_fused,
     decode_attention_indicator,
     decode_attention_reference,
 )
@@ -57,12 +58,13 @@ def test_kernel_matches_reference(has_bias, has_mask, B, T, W, H):
     got = decode_attention(q, k, v, bias, mask, heads=H, scale=0.5,
                            interpret=True)
     ind = decode_attention_indicator(q, k, v, bias, mask, heads=H, scale=0.5)
+    fus = decode_attention_fused(q, k, v, bias, mask, heads=H, scale=0.5,
+                                 interpret=True)
     ref = decode_attention_reference(q, k, v, bias, mask, heads=H, scale=0.5)
     oracle = _mha_oracle(q, k, v, bias, mask, H, 0.5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ind), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    for name, out in (("pallas", got), ("indicator", ind), ("fused", fus)):
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(oracle),
                                rtol=1e-5, atol=1e-5)
 
@@ -116,7 +118,7 @@ def test_decode_impls_produce_identical_tokens():
         np.asarray(t5_greedy_decode(
             params, dataclasses.replace(cfg, decode_attention_impl=impl),
             enc, mask, max_new_tokens=6))
-        for impl in ("xla", "pallas", "indicator")
+        for impl in ("xla", "pallas", "indicator", "fused")
     ]
-    np.testing.assert_array_equal(outs[0], outs[1])
-    np.testing.assert_array_equal(outs[0], outs[2])
+    for other in outs[1:]:
+        np.testing.assert_array_equal(outs[0], other)
