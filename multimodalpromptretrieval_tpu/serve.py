@@ -125,10 +125,10 @@ class MPRServer:
         """Dispatch ONE chunk's retrieval work to the device — text tower
         over the chunk's questions, (img ⊕ txt) query concat from the
         device-side image-embedding table, fused L2 top-k — and return
-        the (k_valid, device indices) WITHOUT fetching. The host half
-        (majority vote + hint formatting, which forces the fetch) runs in
-        the pipelined consume step of :meth:`answer`, overlapped with the
-        previous chunk's predict."""
+        the (k_valid, device indices) WITHOUT fetching. :meth:`answer`
+        dispatches every chunk, fetches all indices in one round-trip,
+        and defers the host half (majority vote + hint formatting) into
+        its pipelined loop, overlapped with the in-flight predict."""
         from multimodalpromptretrieval_tpu.models.clip import (
             truncate_text_ids,
         )
@@ -159,16 +159,15 @@ class MPRServer:
         then be anything indexable — it is not touched).
 
         The generative-prefix path runs a per-chunk software pipeline:
-        chunk i+1's retrieval (text tower + device top-k) is dispatched
-        before chunk i's top-k is fetched, and chunk i's predict runs on
-        device while the host formats hints / re-tokenizes chunk i+1 and
-        detokenizes chunk i-1, so per-request host work (~40 ms of a
-        300 ms steady call: majority vote + SPM encode + detok) hides
-        behind device compute. On a co-located host this is a straight
-        win; through this environment's tunnel the two extra per-chunk
-        result fetches each pay the fixed ~26 ms round-trip
-        (docs/TPU_NOTES.md), which offsets the overlap — measured
-        neutral there (5.4k QA/s either way).
+        every chunk's retrieval (text tower + device top-k) is dispatched
+        up front and the indices come back in ONE host round-trip; then
+        chunk i's predict runs on device while the host formats chunk
+        i+1's hints / re-tokenizes it and detokenizes chunk i-1. The
+        per-request host work (~40 ms of a 300 ms steady call: majority
+        vote + SPM encode + detok) hides behind device compute without
+        adding syncs — through this environment's tunnel every fetch
+        pays a fixed ~26 ms round-trip (docs/TPU_NOTES.md), so a
+        fetch-per-chunk variant measured neutral-to-worse.
         """
         from multimodalpromptretrieval_tpu.data.batching import (
             bucket_width,
@@ -210,17 +209,30 @@ class MPRServer:
             hints = self._hints(images, questions)
             step = self._predict
 
+        if use_prefix and exp.retrieval_index is not None and starts:
+            # Dispatch EVERY chunk's retrieval (text tower + device
+            # top-k) up front and fetch the concatenated indices in ONE
+            # host round-trip — through this environment's tunnel each
+            # fetch costs a fixed ~26 ms regardless of payload
+            # (docs/TPU_NOTES.md), so per-chunk index fetches were
+            # measured to give back the overlap they bought.
+            parts = [self._dispatch_chunk_retrieval(
+                questions[s:s + B], emb_dev, rowmap[s:s + B])
+                for s in starts]
+            idx_all = (jnp.concatenate([idx[:kv] for kv, idx in parts])
+                       if len(parts) > 1 else parts[0][1][:parts[0][0]])
+            idx_np = np.asarray(idx_all)  # the single retrieval sync
+
         def chunk_hints(s: int):
-            """Dispatch retrieval for the chunk at ``s`` (device, async);
-            the returned thunk fetches + formats the hints."""
+            """Hints for the chunk at ``s``; the returned thunk defers
+            the host-side majority vote + formatting into the pipelined
+            loop below so it overlaps the in-flight predict."""
             if not use_prefix or exp.retrieval_index is None:
                 h = (hints[s:s + B] if hints is not None
                      else [""] * min(B, n - s))
                 return lambda: h
-            kv, idx = self._dispatch_chunk_retrieval(
-                questions[s:s + B], emb_dev, rowmap[s:s + B])
             return lambda: exp.retrieval_index.format_prompts(
-                idx[:kv], use_quantifier=exp.use_quantifier)
+                idx_np[s:s + B], use_quantifier=exp.use_quantifier)
 
         def dispatch(s: int, chunk_h: List[str]):
             chunk = [
@@ -246,9 +258,9 @@ class MPRServer:
                 batch["images"] = np.asarray(images[pad], np.float32)
             return step(exp.params, exp.device_batch_from(batch)), k
 
-        # Software pipeline over chunks: retrieval for chunk i+1 is on
-        # the device queue before chunk i's top-k is fetched, and chunk
-        # i's predict is in flight while the host consumes chunk i-1.
+        # Software pipeline over chunks: chunk i's predict is in flight
+        # while the host formats/encodes chunk i+1 and consumes chunk
+        # i-1's answers.
         out: List[str] = []
 
         def consume(pending):
