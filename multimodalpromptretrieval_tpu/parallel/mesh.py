@@ -200,6 +200,52 @@ def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
     return jax.jit(step, **kwargs)
 
 
+def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
+                          use_quantifier: bool, eos_id: int,
+                          max_new_tokens: int = 20, topk_impl: str = "auto",
+                          skip_first: bool = False,
+                          mesh: Optional[Mesh] = None):
+    """The whole per-request serve pipeline in ONE jit: CLIP text tower →
+    (img ⊕ txt) L2 top-k over the device-resident index → in-graph
+    majority vote + quantifier bucket → pre-tokenized hint splice → T5
+    encode → greedy decode.
+
+    fn(params, batch, index, index_sq, aid, hint_ids, hint_len) -> tokens,
+    where batch = {prefix (B,P,d), q_ids (B,W) question ids padded to the
+    final width (no EOS), q_len (B,), clip_text_ids (B,Lc),
+    img_emb (B,E) fp32}. Token-exact vs the host path under the
+    boundary-safety contract (retrieval/hints.py; tested in
+    tests/test_serve_fastpath.py)."""
+    import jax.numpy as jnp
+
+    from multimodalpromptretrieval_tpu.models.clip import clip_encode_text
+    from multimodalpromptretrieval_tpu.ops.topk import l2_topk
+    from multimodalpromptretrieval_tpu.retrieval import hints as rhints
+
+    def step(params, batch, index, index_sq, aid, hint_ids, hint_len):
+        params = mprgen.cast_compute(params, cfg)
+        txt = clip_encode_text(params["clip"], cfg.clip,
+                               batch["clip_text_ids"]).astype(jnp.float32)
+        query = jnp.concatenate(
+            [batch["img_emb"].astype(jnp.float32), txt], axis=1)
+        _, idx = l2_topk(query, index, k, index_sq=index_sq,
+                         impl=topk_impl, skip_first=skip_first)
+        rows = rhints.vote_rows(aid[idx], use_quantifier)
+        ids, mask = rhints.splice_hints(
+            batch["q_ids"], batch["q_len"], hint_ids[rows],
+            hint_len[rows], eos_id)
+        return mprgen.generative_predict_from_prefix(
+            params, cfg, batch["prefix"], ids, mask, max_new_tokens)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        rep = replicated(mesh)
+        kwargs["in_shardings"] = (rep, batch_sharding(mesh),
+                                  rep, rep, rep, rep, rep)
+        kwargs["out_shardings"] = batch_sharding(mesh)
+    return jax.jit(step, **kwargs)
+
+
 def make_image_embed_prefix_step(cfg: mprgen.MPRGenConfig, *,
                                  mesh: Optional[Mesh] = None):
     """fn(params, images) -> (pooled CLIP embedding (B, E), T5 visual

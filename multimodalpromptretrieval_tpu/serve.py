@@ -10,6 +10,17 @@ behind a reusable session so the framework can be embedded:
 
 Requests are padded up to the compiled batch size / length buckets, so any
 request size reuses the same jitted programs.
+
+With retrieval on, the generative ViT path serves through DEVICE-SIDE
+PROMPT CONSTRUCTION when token-exactness is provable: every hint the
+frozen corpus can produce is pre-tokenized into a device-resident table
+(retrieval/hints.py), and each chunk runs CLIP text embed → fused top-k →
+in-graph majority vote → hint splice → T5 encode → greedy decode in ONE
+jit — no retrieval fetch or host re-tokenization in the request loop
+(any k: the vote + quantifier bucket run in-graph). The host path remains
+for tokenizers without continuation encoding, unsafe junction characters
+(retrieval/hints.py exactness contract), BAN / prediction-head / ResNet
+variants, and ``prompt_fastpath=False``.
 """
 
 from __future__ import annotations
@@ -22,13 +33,14 @@ import jax.numpy as jnp
 
 class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
-                 max_new_tokens: int = 20):
+                 max_new_tokens: int = 20, prompt_fastpath: bool = True):
         import os
 
         from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
 
         self.exp = experiment
         self.max_new_tokens = max_new_tokens
+        self.prompt_fastpath = prompt_fastpath
         if load_checkpoint and os.path.exists(experiment.model_path):
             experiment.params, _, _ = ckpt.load_checkpoint(
                 experiment.model_path, experiment.params)
@@ -40,6 +52,28 @@ class MPRServer:
         self._embed_prefix_step = None
         self._text_embed_step = None
         self._staged = None  # stage_images cache: (id -> row, emb, prefix)
+        self._fused_predict = None
+        self._hint_tables = None  # None = not built; False = unavailable
+
+    def _ensure_hint_tables(self):
+        """Build (once) the pre-tokenized hint tables for the device-side
+        prompt-construction fast path (retrieval/hints.py); returns the
+        tables or None when the corpus/tokenizer can't support it."""
+        if self._hint_tables is None:
+            from multimodalpromptretrieval_tpu.retrieval.hints import (
+                build_hint_tables,
+            )
+
+            exp = self.exp
+            tok = exp.tokenizer
+            if not (hasattr(tok, "encode_continuation")
+                    and hasattr(tok, "boundary_safe")):
+                self._hint_tables = False
+            else:
+                self._hint_tables = build_hint_tables(
+                    exp.retrieval_index, tok,
+                    use_quantifier=exp.use_quantifier) or False
+        return self._hint_tables or None
 
     def _hints(self, images: np.ndarray, questions: Sequence[str]
                ) -> List[str]:
@@ -199,6 +233,20 @@ class MPRServer:
                 pos, emb_dev, pref_dev = self._encode_unique(
                     images, ids_for_dedup)
             rowmap = np.asarray([pos[i] for i in ids_for_dedup])
+            if exp.retrieval_index is not None and self.prompt_fastpath:
+                ht = self._ensure_hint_tables()
+                if ht is not None:
+                    from multimodalpromptretrieval_tpu.text.spm import (
+                        normalize,
+                    )
+
+                    prompts = [f"Answer the {t} question: " + q
+                               for q, t in zip(questions, tasks)]
+                    if all(exp.tokenizer.boundary_safe(
+                            normalize(p)[-1:], ht.first_char)
+                           for p in prompts):
+                        return self._answer_fused(
+                            prompts, questions, rowmap, emb_dev, pref_dev)
             if self._prefix_predict is None:
                 self._prefix_predict = pmesh.make_prefix_predict_step(
                     mcfg, max_new_tokens=self.max_new_tokens,
@@ -278,6 +326,83 @@ class MPRServer:
             if i + 1 < len(starts):
                 rpend.append(chunk_hints(starts[i + 1]))
             ppend.append(dispatch(s, rpend.pop(0)()))
+            if len(ppend) > 1:
+                consume(ppend)
+        while ppend:
+            consume(ppend)
+        return out
+
+    def _answer_fused(self, prompts: Sequence[str],
+                      questions: Sequence[str], rowmap: np.ndarray,
+                      emb_dev, pref_dev) -> List[str]:
+        """Device-side prompt-construction serve loop: per chunk, ONE jit
+        runs CLIP text embed → fused top-k → in-graph majority vote →
+        pre-tokenized hint splice → T5 encode + greedy decode
+        (parallel/mesh.make_fused_serve_step). The host only tokenizes the
+        question prefix and detokenizes answers — no retrieval fetch, no
+        hint re-tokenization. Token-exact vs the host path (the caller
+        checked boundary safety; tests/test_serve_fastpath.py)."""
+        from multimodalpromptretrieval_tpu.data.batching import (
+            bucket_width,
+            pad_ids,
+        )
+        from multimodalpromptretrieval_tpu.models.clip import (
+            truncate_text_ids,
+        )
+        from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+
+        exp = self.exp
+        mcfg = exp.model_cfg
+        ht = self._hint_tables
+        index = exp.retrieval_index
+        B = exp.batch_size
+        n = len(prompts)
+        if self._fused_predict is None:
+            self._fused_predict = pmesh.make_fused_serve_step(
+                mcfg, k=exp.k, use_quantifier=exp.use_quantifier,
+                eos_id=exp.tokenizer.eos_id,
+                max_new_tokens=self.max_new_tokens,
+                topk_impl=index.topk_impl,
+                skip_first=index.is_training_phase, mesh=exp.mesh)
+        step = self._fused_predict
+
+        def dispatch(s: int):
+            rows = [exp.tokenizer.encode(p, add_eos=False)
+                    for p in prompts[s:s + B]]
+            k = len(rows)
+            pad = list(range(s, s + k)) + [s + k - 1] * (B - k)
+            rows = rows + [rows[-1]] * (B - k)
+            width = bucket_width(
+                max(len(r) for r in rows) + ht.max_hint_len + 1,
+                32, mcfg.max_source_length)
+            q_ids, _ = pad_ids(rows, width)
+            q_len = np.asarray([min(len(r), width) for r in rows],
+                               np.int32)
+            cids = truncate_text_ids(
+                exp.clip_tokenizer.tokenize(list(questions[s:s + B])))
+            if k < B:
+                cids = np.concatenate(
+                    [cids, np.repeat(cids[-1:], B - k, axis=0)])
+            gather = jnp.asarray(rowmap[pad])
+            batch = exp.device_batch_from(
+                {"q_ids": q_ids, "q_len": q_len, "clip_text_ids": cids,
+                 "prefix": jnp.take(pref_dev, gather, axis=0),
+                 "img_emb": jnp.take(emb_dev, gather, axis=0)})
+            return step(exp.params, batch, index.embeddings,
+                        index.index_sq, ht.aid, ht.hint_ids,
+                        ht.hint_len), k
+
+        out: List[str] = []
+
+        def consume(pending):
+            preds, k = pending.pop(0)
+            for row in np.asarray(preds)[:k]:
+                out.append(exp.tokenizer.decode(
+                    row, skip_special_tokens=True))
+
+        ppend = []
+        for s in range(0, n, B):
+            ppend.append(dispatch(s))
             if len(ppend) > 1:
                 consume(ppend)
         while ppend:

@@ -186,6 +186,16 @@ def normalize(text: str) -> str:
     return text
 
 
+def normalize_continuation(text: str) -> str:
+    """:func:`normalize` minus the dummy prefix — for text that attaches
+    directly to the end of an already-tokenized string (device-side prompt
+    construction splices pre-tokenized hint continuations after the
+    question, serve.MPRServer)."""
+    text = unicodedata.normalize("NFKC", text)
+    text = " ".join(text.split())
+    return text.replace(" ", _SPACE)
+
+
 def viterbi_encode(vocab: UnigramVocab, normalized: str,
                    unk_penalty: float = 10.0) -> List[int]:
     """Best unigram segmentation (max sum of piece scores)."""
@@ -286,6 +296,8 @@ class T5SentencePieceTokenizer:
                 self.added[t] = new_id
                 self._added_rev[new_id] = t
                 added += 1
+        if added and hasattr(self, "_bigrams"):
+            del self._bigrams  # boundary_safe must see the new tokens
         return added
 
     def convert_tokens_to_ids(self, token: str) -> int:
@@ -328,6 +340,63 @@ class T5SentencePieceTokenizer:
             # EOS is truncated away, matching tokenizer(..., truncation=True))
             ids = ids[:max_length]
         return ids
+
+    def encode_continuation(self, text: str) -> List[int]:
+        """Tokenize ``text`` as a CONTINUATION of an earlier string: no
+        dummy ▁ prefix, no EOS.
+
+        Exactness contract: when :meth:`boundary_safe` holds for the
+        junction characters,
+
+            encode(a + b) == encode(a, add_eos=False)
+                             + encode_continuation(b) + [eos]
+
+        because a forced Viterbi cut at the junction makes the unigram DP
+        factorize into the two independent sub-problems. Used to
+        pre-tokenize retrieval-hint strings into a device-resident table
+        (retrieval/hints.py) so serving can splice prompts in-graph.
+        """
+        norm = normalize_continuation(text)
+        if self._native is not None:
+            return list(self._native.encode(norm))
+        return viterbi_encode(self.vocab, norm)
+
+    def _internal_bigrams(self) -> set:
+        """All adjacent character pairs occurring INSIDE a matchable vocab
+        piece or an added token (length >= 2). A junction whose character
+        pair is not in this set forces a Viterbi segmentation cut there."""
+        if not hasattr(self, "_bigrams"):
+            grams = set()
+            for p, _, t in self.vocab.pieces:
+                if t in (PIECE_CONTROL, PIECE_UNKNOWN, PIECE_UNUSED):
+                    continue  # never matched by the trie
+                for i in range(len(p) - 1):
+                    grams.add(p[i:i + 2])
+            for tok in self.added:
+                for i in range(len(tok) - 1):
+                    grams.add(tok[i:i + 2])
+            self._bigrams = grams
+        return self._bigrams
+
+    def boundary_safe(self, prev_char: str, next_char: str) -> bool:
+        """True iff concatenating two strings whose (normalized) junction
+        characters are ``prev_char``/``next_char`` tokenizes identically to
+        tokenizing the parts separately (see :meth:`encode_continuation`).
+
+        Three conditions: the pair must survive NFKC unchanged (no
+        composition across the junction — covers combining marks and
+        Hangul jamo), neither side may be whitespace (the collapse step
+        acts across the junction), and no matchable piece may contain the
+        pair internally (else Viterbi could lay a piece across the cut).
+        """
+        if not prev_char or not next_char:
+            return False
+        pair = prev_char + next_char
+        if unicodedata.normalize("NFKC", pair) != pair:
+            return False
+        if prev_char.isspace() or next_char.isspace():
+            return False
+        return pair not in self._internal_bigrams()
 
     def _split_added(self, text: str):
         if not self.added:

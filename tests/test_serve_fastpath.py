@@ -1,0 +1,195 @@
+"""Device-side prompt construction (retrieval/hints.py + serve fast path).
+
+The fast path pre-tokenizes every possible retrieval hint into a
+device-resident table and splices prompts in-graph; these tests pin its
+exactness contract against the host pipeline at every level: continuation
+tokenization, in-graph majority vote / quantifier bucketing, the splice
+itself, and full MPRServer answers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodalpromptretrieval_tpu.data.synthetic import (
+    generate_synthetic_slake,
+    synthetic_config,
+)
+from multimodalpromptretrieval_tpu.retrieval.hints import (
+    build_hint_tables,
+    hint_strings,
+    splice_hints,
+    vote_rows,
+)
+from multimodalpromptretrieval_tpu.retrieval.index import (
+    majority_vote,
+    quantifier_bucket,
+    QUANTIFIER_BUCKETS,
+)
+from multimodalpromptretrieval_tpu.serve import MPRServer
+from multimodalpromptretrieval_tpu.text import spm
+from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+
+# ---------------------------------------------------------------------------
+# Continuation tokenization
+# ---------------------------------------------------------------------------
+
+
+def _toy_tokenizer(extra_pieces=()):
+    corpus = ["is this a lung?", "what organ is shown?",
+              "i believe the answer is certainly lung"]
+    vocab = spm.UnigramVocab.build_toy(corpus)
+    if extra_pieces:
+        vocab = spm.UnigramVocab(
+            list(vocab.pieces)
+            + [(p, -1.0, spm.PIECE_NORMAL) for p in extra_pieces])
+    return spm.T5SentencePieceTokenizer(vocab)
+
+
+def test_continuation_concat_exactness():
+    tok = _toy_tokenizer()
+    cases = [
+        ("Answer the open question: is this a lung?",
+         "I believe the answer is certainly lung"),
+        ("what organ is shown?", "The most frequent answer is heart"),
+        ("no question mark here", "I believe the answer is maybe x"),
+    ]
+    for a, b in cases:
+        assert tok.boundary_safe(spm.normalize(a)[-1:],
+                                 spm.normalize_continuation(b)[:1])
+        whole = tok.encode(a + b)
+        split = (tok.encode(a, add_eos=False) + tok.encode_continuation(b)
+                 + [tok.eos_id])
+        assert whole == split, (a, b)
+
+
+def test_boundary_unsafe_when_piece_spans_junction():
+    tok = _toy_tokenizer(extra_pieces=["?I"])
+    assert not tok.boundary_safe("?", "I")
+    # the safe cases stay safe
+    assert tok.boundary_safe("g", "I")
+
+
+def test_boundary_unsafe_on_whitespace_and_combining():
+    tok = _toy_tokenizer()
+    assert not tok.boundary_safe(" ", "I")
+    assert not tok.boundary_safe("?", " ")
+    assert not tok.boundary_safe("", "I")
+    assert not tok.boundary_safe("e", "́")  # combining acute
+
+
+def test_added_token_bigrams_block_boundary():
+    tok = _toy_tokenizer()
+    assert tok.boundary_safe("t", "k")
+    tok.add_tokens(["[itk]"])
+    assert not tok.boundary_safe("t", "k")  # "tk" now inside an added token
+
+
+# ---------------------------------------------------------------------------
+# In-graph vote + bucket vs the host oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 15])
+def test_vote_rows_matches_majority_vote(k):
+    rng = np.random.default_rng(k)
+    answers = [f"ans{i}" for i in range(6)]
+    aid_k = rng.integers(0, len(answers), size=(64, k)).astype(np.int32)
+    rows = np.asarray(vote_rows(aid_k, use_quantifier=True))
+    plain = np.asarray(vote_rows(aid_k, use_quantifier=False))
+    for b in range(aid_k.shape[0]):
+        pred, certainty = majority_vote([answers[j] for j in aid_k[b]])
+        want_aid = answers.index(pred)
+        want_bucket = QUANTIFIER_BUCKETS.index(quantifier_bucket(certainty))
+        assert rows[b] == want_aid * 6 + want_bucket, (b, aid_k[b])
+        assert plain[b] == want_aid
+
+
+def test_vote_rows_tie_breaks_by_first_retrieval_rank():
+    # [b, a, b, a]: both reach count 2; 'b' was retrieved first -> wins
+    aid_k = np.asarray([[1, 0, 1, 0], [2, 2, 0, 0]], np.int32)
+    plain = np.asarray(vote_rows(aid_k, use_quantifier=False))
+    assert plain.tolist() == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Splice vs host-side padding
+# ---------------------------------------------------------------------------
+
+
+def test_splice_matches_host_concat():
+    from multimodalpromptretrieval_tpu.data.batching import pad_ids
+
+    rng = np.random.default_rng(0)
+    W, H, eos = 24, 6, 1
+    q_rows = [list(rng.integers(2, 50, size=n)) for n in (3, 10, 23, 24)]
+    h_rows = [list(rng.integers(2, 50, size=n)) for n in (4, 6, 1, 2)]
+    q_ids, _ = pad_ids(q_rows, W)
+    h_ids, _ = pad_ids(h_rows, H)
+    q_len = np.asarray([len(r) for r in q_rows], np.int32)
+    h_len = np.asarray([len(r) for r in h_rows], np.int32)
+    ids, mask = splice_hints(q_ids, q_len, h_ids, h_len, eos)
+    # host reference: concat + eos, truncated to W (HF truncation)
+    want_rows = [(q + h + [eos])[:W] for q, h in zip(q_rows, h_rows)]
+    want_ids, want_mask = pad_ids(want_rows, W)
+    np.testing.assert_array_equal(np.asarray(ids), want_ids)
+    np.testing.assert_array_equal(np.asarray(mask), want_mask)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: fast path == host path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module", params=[1, 3])
+def trained(tmp_path_factory, request):
+    k = request.param
+    root = str(tmp_path_factory.mktemp(f"fast{k}"))
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=16,
+                             n_validate=8, n_test=8, image_size=32, seed=0)
+    cfg = synthetic_config(root, batch_size=4, epochs=1, image_size=32,
+                           retrieval=True, k=k)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg["cache_retrieval"] = False
+    paths = dict(log_root=os.path.join(root, "logs"),
+                 model_root=os.path.join(root, "models"))
+    exp = Experiment(cfg, train_mode=True, quiet=True, **paths)
+    exp.train()
+    return Experiment(cfg, train_mode=False, quiet=True, **paths)
+
+
+def test_fastpath_answers_match_host_path(trained):
+    fast = MPRServer(trained, prompt_fastpath=True)
+    host = MPRServer(trained, prompt_fastpath=False)
+    entries = (trained.dataset_test.entries * 2)[:9]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    a_fast = fast.answer(images, questions, tasks, image_ids=ids)
+    a_host = host.answer(images, questions, tasks, image_ids=ids)
+    assert a_fast == a_host
+    # the fast path actually engaged (tables built, fused step compiled)
+    assert fast._hint_tables not in (None, False)
+    assert fast._fused_predict is not None
+    assert host._fused_predict is None
+
+
+def test_fastpath_hint_table_covers_all_hints(trained):
+    """Every hint string the host pipeline can emit is a row of the table,
+    tokenized identically to host-side continuation encoding."""
+    tok = trained.tokenizer
+    ht = build_hint_tables(trained.retrieval_index, tok,
+                           use_quantifier=trained.use_quantifier)
+    assert ht is not None
+    first: dict = {}
+    for a in trained.retrieval_index.answers:
+        first.setdefault(a, len(first))
+    for ans, aid in first.items():
+        for b, hint in enumerate(hint_strings(ans, trained.use_quantifier)):
+            row = aid * 6 + b if trained.use_quantifier else aid
+            want = tok.encode_continuation(hint)
+            got = np.asarray(ht.hint_ids[row])[:int(ht.hint_len[row])]
+            assert got.tolist() == want
