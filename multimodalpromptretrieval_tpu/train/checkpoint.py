@@ -30,15 +30,22 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def _unflatten_into(template, flat, prefix=""):
+def _unflatten_into(template, flat, prefix="", template_on_missing=False):
     if isinstance(template, dict):
-        return {k: _unflatten_into(template[k], flat, f"{prefix}{k}/")
+        return {k: _unflatten_into(template[k], flat, f"{prefix}{k}/",
+                                   template_on_missing)
                 for k in template}
     if isinstance(template, (list, tuple)):
-        seq = [_unflatten_into(v, flat, f"{prefix}{i}/")
+        seq = [_unflatten_into(v, flat, f"{prefix}{i}/",
+                               template_on_missing)
                for i, v in enumerate(template)]
         return type(template)(seq)
-    return flat[prefix[:-1]]
+    key = prefix[:-1]
+    if template_on_missing and key not in flat:
+        # elided all-zero optimizer moment (frozen param): the template
+        # (adamw_init) already holds the zeros
+        return np.asarray(template)
+    return flat[key]
 
 
 def save_checkpoint(path: str, params, opt_state=None,
@@ -46,8 +53,17 @@ def save_checkpoint(path: str, params, opt_state=None,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
-        arrays.update({f"opt/{k}": v
-                       for k, v in _flatten(opt_state).items()})
+        for k, v in _flatten(opt_state).items():
+            # Frozen params (e.g. the CLIP towers) keep all-zero AdamW
+            # moments; the torch reference stores no optimizer state for
+            # requires_grad=False params at all (main.py:199-206 saves the
+            # optimizer's own state_dict), so elide them — load restores
+            # the zeros from the template. Small leaves (step counters,
+            # scalars) are always kept so a saved-opt checkpoint is
+            # distinguishable from a params-only one.
+            if v.size > 1024 and not np.any(v):
+                continue
+            arrays[f"opt/{k}"] = v
     np.savez(path, **arrays)
     if metadata is not None:
         with open(path + ".json", "w") as f:
@@ -72,8 +88,10 @@ def load_checkpoint(path: str, params_template,
         oflat = {k[len("opt/"):]: v for k, v in flat.items()
                  if k.startswith("opt/")}
         if oflat:
-            opt_state = jax.tree.map(jnp.asarray,
-                                     _unflatten_into(opt_template, oflat))
+            opt_state = jax.tree.map(
+                jnp.asarray,
+                _unflatten_into(opt_template, oflat,
+                                template_on_missing=True))
     metadata: Dict[str, Any] = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

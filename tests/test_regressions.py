@@ -118,3 +118,44 @@ def test_resume_restores_decayed_lr(synth_root, tmp_path):
     exp3.train(resume=True)
     assert exp3.scheduler.lr == pytest.approx(
         cfg["hyperparameters"]["learning_rate"])
+
+
+def test_checkpoint_elides_frozen_zero_moments(tmp_path):
+    """Frozen-param AdamW moments are all zeros; the checkpoint must not
+    store them (torch reference parity: no optimizer state for
+    requires_grad=False params) and load must restore the zeros from the
+    template."""
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"t5": {"w": np.arange(6.0).reshape(2, 3)},
+              "clip": {"w": np.ones((40, 40))}}
+    opt = {"m": {"t5": {"w": np.full((2, 3), 0.5)},
+                 "clip": {"w": np.zeros((40, 40))}},
+           "v": {"t5": {"w": np.full((2, 3), 0.25)},
+                 "clip": {"w": np.zeros((40, 40))}},
+           "step": np.asarray(7)}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, opt)
+    with np.load(path) as z:
+        keys = set(z.files)
+    assert "opt/m/clip/w" not in keys and "opt/v/clip/w" not in keys
+    assert "opt/m/t5/w" in keys and "opt/step" in keys
+
+    template_opt = {"m": {"t5": {"w": np.zeros((2, 3))},
+                          "clip": {"w": np.zeros((40, 40))}},
+                    "v": {"t5": {"w": np.zeros((2, 3))},
+                          "clip": {"w": np.zeros((40, 40))}},
+                    "step": np.asarray(0)}
+    p2, o2, _ = load_checkpoint(path, params, template_opt)
+    np.testing.assert_array_equal(np.asarray(o2["m"]["t5"]["w"]),
+                                  opt["m"]["t5"]["w"])
+    np.testing.assert_array_equal(np.asarray(o2["m"]["clip"]["w"]),
+                                  np.zeros((40, 40)))
+    assert int(o2["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(p2["clip"]["w"]),
+                                  params["clip"]["w"])
