@@ -59,12 +59,16 @@ class MPRServer:
         """Build (once) the pre-tokenized hint tables for the device-side
         prompt-construction fast path (retrieval/hints.py); returns the
         tables or None when the corpus/tokenizer can't support it."""
+        exp = self.exp
+        if (self._hint_tables not in (None, False)
+                and self._hint_tables.aid.shape[0]
+                != len(exp.retrieval_index)):
+            self._hint_tables = None  # corpus extended since build: rebuild
         if self._hint_tables is None:
             from multimodalpromptretrieval_tpu.retrieval.hints import (
                 build_hint_tables,
             )
 
-            exp = self.exp
             tok = exp.tokenizer
             if not (hasattr(tok, "encode_continuation")
                     and hasattr(tok, "boundary_safe")):

@@ -193,3 +193,40 @@ def test_fastpath_hint_table_covers_all_hints(trained):
             want = tok.encode_continuation(hint)
             got = np.asarray(ht.hint_ids[row])[:int(ht.hint_len[row])]
             assert got.tolist() == want
+
+
+def test_fastpath_rebuilds_tables_after_index_extend(trained):
+    """Extending the retrieval corpus after the hint tables were built
+    must rebuild them (a stale aid table would silently clip gathers)."""
+    from multimodalpromptretrieval_tpu.retrieval.index import RetrievalIndex
+
+    orig = trained.retrieval_index
+    dup = RetrievalIndex(
+        np.asarray(orig.embeddings), list(orig.answers),
+        {k: list(v) for k, v in orig.question_info.items()},
+        orig.is_training_phase, orig.retrieval_k, orig.topk_impl)
+    trained.retrieval_index = dup
+    try:
+        fast = MPRServer(trained, prompt_fastpath=True)
+        host = MPRServer(trained, prompt_fastpath=False)
+        entries = trained.dataset_test.entries[:5]
+        images = np.stack([trained.images[e["image_name"]]
+                           for e in entries])
+        questions = [e["question"] for e in entries]
+        tasks = [e["task"] for e in entries]
+        ids = [e["image_name"] for e in entries]
+        fast.answer(images, questions, tasks, image_ids=ids)
+        n_before = fast._hint_tables.aid.shape[0]
+
+        extra = RetrievalIndex(
+            np.asarray(orig.embeddings)[:3],
+            ["zebra crossing", "xylophone", "quokka"],
+            {k: list(v)[:3] for k, v in orig.question_info.items()},
+            orig.is_training_phase, orig.retrieval_k, orig.topk_impl)
+        dup.extend(extra)
+        a_fast = fast.answer(images, questions, tasks, image_ids=ids)
+        a_host = host.answer(images, questions, tasks, image_ids=ids)
+        assert a_fast == a_host
+        assert fast._hint_tables.aid.shape[0] == len(dup) > n_before
+    finally:
+        trained.retrieval_index = orig
