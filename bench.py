@@ -33,7 +33,6 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from typing import Optional
 
 
 def build(preset: str, dtype_name: str, batch: int, seq_len: int,
@@ -227,8 +226,28 @@ def _bench_experiment(args, data_dir: str, tiny: bool):
                       model_root=os.path.join(data_dir, "models"))
 
 
-def run_e2e_trained(args, data_dir: str,
-                    train_if_missing: bool = True) -> Optional[float]:
+def _steady_windows(server, questions, tasks, ids, n: int, args):
+    """Measure the staged steady state over several timed windows; returns
+    (best, median) QA/s. The tunneled host<->device wire swings run-to-run
+    (docs/TPU_NOTES.md: ~±10% across one day on identical code), so one
+    window is a noisy draw."""
+    import statistics
+
+    server.answer(None, questions, tasks, image_ids=ids)  # staged warmup
+    windows = []
+    for _ in range(args.e2e_windows):
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(args.e2e_iters):
+            total += len(server.answer(None, questions, tasks,
+                                       image_ids=ids))
+        windows.append(total / (time.perf_counter() - t0))
+        assert total == n * args.e2e_iters
+    return max(windows), statistics.median(windows)
+
+
+def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True):
+    # -> (best, median) QA/s, or None when no checkpoint and not training
     """Steady-state QA/s with a TRAINED checkpoint and decode early-exit.
 
     The serving decode loop exits when every row has emitted EOS
@@ -274,17 +293,7 @@ def run_e2e_trained(args, data_dir: str,
     ids = [e["image_name"] for e in entries]
     n = len(entries)
     server.stage_images(images, ids)
-    server.answer(None, questions, tasks, image_ids=ids)  # warmup
-    best = 0.0
-    for _ in range(args.e2e_windows):
-        t0 = time.perf_counter()
-        total = 0
-        for _ in range(args.e2e_iters):
-            total += len(server.answer(None, questions, tasks,
-                                       image_ids=ids))
-        best = max(best, total / (time.perf_counter() - t0))
-        assert total == n * args.e2e_iters
-    return best
+    return _steady_windows(server, questions, tasks, ids, n, args)
 
 
 def run_e2e(args, data_dir: str):
@@ -323,22 +332,7 @@ def run_e2e(args, data_dir: str):
     assert total == n * args.e2e_iters
 
     server.stage_images(images, ids)
-    server.answer(None, questions, tasks, image_ids=ids)  # staged warmup
-    # The tunneled host<->device wire swings run-to-run (docs/TPU_NOTES.md:
-    # 4.9-5.5k across one day on identical code); measure several short
-    # windows and report best + median so one bad draw doesn't misstate
-    # the steady-state capability.
-    windows = []
-    for _ in range(args.e2e_windows):
-        t0 = time.perf_counter()
-        total = 0
-        for _ in range(args.e2e_iters):
-            out = server.answer(None, questions, tasks, image_ids=ids)
-            total += len(out)
-        windows.append(total / (time.perf_counter() - t0))
-        assert total == n * args.e2e_iters
-    steady = max(windows)
-    median = sorted(windows)[len(windows) // 2]
+    steady, median = _steady_windows(server, questions, tasks, ids, n, args)
     return steady, median, cold
 
 
@@ -441,11 +435,12 @@ def main():
             "e2e_median_of_windows": round(median, 2),
             "e2e_cold_images_over_wire": round(cold, 2)}))
     elif args.mode == "e2e_trained":
-        v = run_e2e_trained(args, args.data_dir)
+        best, median = run_e2e_trained(args, args.data_dir)
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e_trained",
-            "value": round(v, 2), "unit": "QA/s",
-            "vs_baseline": round(v / baseline, 4)}))
+            "value": round(best, 2), "unit": "QA/s",
+            "vs_baseline": round(best / baseline, 4),
+            "e2e_trained_median_of_windows": round(median, 2)}))
     elif args.mode == "train":
         v = run_train(args, args.data_dir)
         print(json.dumps({
@@ -456,11 +451,13 @@ def main():
         dev = run_device(args)
         trn = run_train(args, args.data_dir)
         try:
-            trained = run_e2e_trained(args, args.data_dir,
-                                      train_if_missing=False)
-            trained = round(trained, 2) if trained is not None else None
+            out = run_e2e_trained(args, args.data_dir,
+                                  train_if_missing=False)
+            trained, trained_med = (
+                (round(out[0], 2), round(out[1], 2)) if out is not None
+                else (None, None))
         except Exception:  # never let the extra number sink the record
-            trained = None
+            trained = trained_med = None
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e",
             "value": round(steady, 2), "unit": "QA/s",
@@ -468,6 +465,7 @@ def main():
             "e2e_median_of_windows": round(median, 2),
             "e2e_cold_images_over_wire": round(cold, 2),
             "e2e_trained_earlystop_qa_per_sec": trained,
+            "e2e_trained_median_of_windows": trained_med,
             "device_only_qa_per_sec": round(dev, 2),
             "train_ex_per_sec": round(trn, 2)}))
 

@@ -85,13 +85,15 @@ def build_hint_tables(index: RetrievalIndex, tokenizer,
     for a in answers:
         first.setdefault(a, len(first))
     distinct = list(first)
-    for a in distinct:
-        for tok in getattr(tokenizer, "added", {}):
-            if tok in a:
-                return None
+    added = list(getattr(tokenizer, "added", {}))
     rows: List[List[int]] = []
     for a in distinct:
         for h in hint_strings(a, use_quantifier):
+            # the full-string encoder splits on added tokens anywhere in
+            # the hint (answer text AND template words), which
+            # encode_continuation does not — check the whole string
+            if any(tok in h for tok in added):
+                return None
             rows.append(tokenizer.encode_continuation(h))
     if not rows:
         return None

@@ -54,16 +54,22 @@ class MPRServer:
         self._staged = None  # stage_images cache: (id -> row, emb, prefix)
         self._fused_predict = None
         self._hint_tables = None  # None = not built; False = unavailable
+        self._hint_src = None  # (id, len) of the index the tables match
 
     def _ensure_hint_tables(self):
         """Build (once) the pre-tokenized hint tables for the device-side
         prompt-construction fast path (retrieval/hints.py); returns the
         tables or None when the corpus/tokenizer can't support it."""
         exp = self.exp
-        if (self._hint_tables not in (None, False)
-                and self._hint_tables.aid.shape[0]
-                != len(exp.retrieval_index)):
-            self._hint_tables = None  # corpus extended since build: rebuild
+        src = (id(exp.retrieval_index), len(exp.retrieval_index),
+               len(getattr(exp.tokenizer, "added", {})))
+        if self._hint_src != src:
+            # corpus extended in place, the index object replaced (even
+            # by a same-length rebuild), or tokens added to the tokenizer
+            # (hint rows could tokenize differently now): rebuild — also
+            # clears a sticky False from a previously unsupported corpus
+            self._hint_tables = None
+            self._hint_src = src
         if self._hint_tables is None:
             from multimodalpromptretrieval_tpu.retrieval.hints import (
                 build_hint_tables,
@@ -240,14 +246,9 @@ class MPRServer:
             if exp.retrieval_index is not None and self.prompt_fastpath:
                 ht = self._ensure_hint_tables()
                 if ht is not None:
-                    from multimodalpromptretrieval_tpu.text.spm import (
-                        normalize,
-                    )
-
                     prompts = [f"Answer the {t} question: " + q
                                for q, t in zip(questions, tasks)]
-                    if all(exp.tokenizer.boundary_safe(
-                            normalize(p)[-1:], ht.first_char)
+                    if all(exp.tokenizer.concat_safe(p, ht.first_char)
                            for p in prompts):
                         return self._answer_fused(
                             prompts, questions, rowmap, emb_dev, pref_dev)
@@ -310,9 +311,18 @@ class MPRServer:
                 batch["images"] = np.asarray(images[pad], np.float32)
             return step(exp.params, exp.device_batch_from(batch)), k
 
-        # Software pipeline over chunks: chunk i's predict is in flight
-        # while the host formats/encodes chunk i+1 and consumes chunk
-        # i-1's answers.
+        return self._run_pipeline(
+            starts, lambda i, s: dispatch(s, chunk_hints(s)()),
+            classify=classify)
+
+    def _run_pipeline(self, starts, dispatch_fn,
+                      classify: bool = False) -> List[str]:
+        """Software pipeline over chunks: chunk i's predict is in flight
+        while the host encodes chunk i+1 and consumes chunk i-1's
+        answers. ``dispatch_fn(i, start) -> (pending_preds, n_valid)``.
+        Shared by the host and fused serve loops so padding/pipeline
+        policy can't drift between them."""
+        exp = self.exp
         out: List[str] = []
 
         def consume(pending):
@@ -324,12 +334,9 @@ class MPRServer:
                     out.append(exp.tokenizer.decode(
                         row, skip_special_tokens=True))
 
-        rpend = [chunk_hints(starts[0])] if starts else []
         ppend = []
         for i, s in enumerate(starts):
-            if i + 1 < len(starts):
-                rpend.append(chunk_hints(starts[i + 1]))
-            ppend.append(dispatch(s, rpend.pop(0)()))
+            ppend.append(dispatch_fn(i, s))
             if len(ppend) > 1:
                 consume(ppend)
         while ppend:
@@ -396,19 +403,5 @@ class MPRServer:
                         index.index_sq, ht.aid, ht.hint_ids,
                         ht.hint_len), k
 
-        out: List[str] = []
-
-        def consume(pending):
-            preds, k = pending.pop(0)
-            for row in np.asarray(preds)[:k]:
-                out.append(exp.tokenizer.decode(
-                    row, skip_special_tokens=True))
-
-        ppend = []
-        for s in range(0, n, B):
-            ppend.append(dispatch(s))
-            if len(ppend) > 1:
-                consume(ppend)
-        while ppend:
-            consume(ppend)
-        return out
+        return self._run_pipeline(list(range(0, n, B)),
+                                  lambda i, s: dispatch(s))

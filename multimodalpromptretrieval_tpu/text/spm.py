@@ -378,6 +378,30 @@ class T5SentencePieceTokenizer:
             self._bigrams = grams
         return self._bigrams
 
+    def concat_safe(self, text: str, next_char: str) -> bool:
+        """True iff ``encode(text + b) == encode(text, add_eos=False) +
+        encode_continuation(b) + [eos]`` for any continuation ``b``
+        starting with ``next_char``.
+
+        Prompt-level conditions on top of :meth:`boundary_safe`:
+
+        * ``text`` must not end in (NFKC-)whitespace — :func:`normalize`
+          strips a trailing space from the standalone encode that the
+          full-string encode would keep as a ▁ before the continuation;
+        * ``text`` must not end with an added token — ``_split_added``
+          starts a fresh chunk after it, so the continuation would get a
+          dummy ▁ prefix in the full-string encode.
+        """
+        if not text:
+            return False
+        nf = unicodedata.normalize("NFKC", text)
+        if not nf or nf[-1].isspace():
+            return False
+        for t in self.added:
+            if text.endswith(t):
+                return False
+        return self.boundary_safe(normalize(text)[-1:], next_char)
+
     def boundary_safe(self, prev_char: str, next_char: str) -> bool:
         """True iff concatenating two strings whose (normalized) junction
         characters are ``prev_char``/``next_char`` tokenizes identically to

@@ -41,10 +41,16 @@ def _unflatten_into(template, flat, prefix="", template_on_missing=False):
                for i, v in enumerate(template)]
         return type(template)(seq)
     key = prefix[:-1]
-    if template_on_missing and key not in flat:
-        # elided all-zero optimizer moment (frozen param): the template
-        # (adamw_init) already holds the zeros
-        return np.asarray(template)
+    if key not in flat:
+        # ``template_on_missing``: True allows any gap (legacy pre-marker
+        # files); a set allows only keys the writer explicitly elided —
+        # anything else stays a loud KeyError (truncated/mismatched file)
+        if template_on_missing is True or (
+                isinstance(template_on_missing, (set, frozenset))
+                and key in template_on_missing):
+            # elided all-zero optimizer moment (frozen param): the
+            # template (adamw_init) already holds the zeros
+            return np.asarray(template)
     return flat[key]
 
 
@@ -53,6 +59,7 @@ def save_checkpoint(path: str, params, opt_state=None,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
+        elided = []
         for k, v in _flatten(opt_state).items():
             # Frozen params (e.g. the CLIP towers) keep all-zero AdamW
             # moments; the torch reference stores no optimizer state for
@@ -62,8 +69,12 @@ def save_checkpoint(path: str, params, opt_state=None,
             # scalars) are always kept so a saved-opt checkpoint is
             # distinguishable from a params-only one.
             if v.size > 1024 and not np.any(v):
+                elided.append(k)
                 continue
             arrays[f"opt/{k}"] = v
+        # explicit elision record: load treats ONLY these as
+        # restore-from-template; any other missing key stays a KeyError
+        arrays["__elided_opt__"] = np.asarray(json.dumps(elided))
     np.savez(path, **arrays)
     if metadata is not None:
         with open(path + ".json", "w") as f:
@@ -77,6 +88,11 @@ def load_checkpoint(path: str, params_template,
         flat = {k: z[k] for k in z.files}
     import jax.numpy as jnp
 
+    marker = flat.pop("__elided_opt__", None)
+    # pre-marker files carry every key; True keeps them loading (any
+    # genuinely missing key would have raised under the old strict code
+    # only — acceptable legacy leniency, documented)
+    allowed = set(json.loads(str(marker))) if marker is not None else True
     pflat = {k[len("params/"):]: v for k, v in flat.items()
              if k.startswith("params/")}
     # device arrays, not numpy: loaded params feed jitted fns (a numpy leaf
@@ -91,7 +107,7 @@ def load_checkpoint(path: str, params_template,
             opt_state = jax.tree.map(
                 jnp.asarray,
                 _unflatten_into(opt_template, oflat,
-                                template_on_missing=True))
+                                template_on_missing=allowed))
     metadata: Dict[str, Any] = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

@@ -159,3 +159,31 @@ def test_checkpoint_elides_frozen_zero_moments(tmp_path):
     assert int(o2["step"]) == 7
     np.testing.assert_array_equal(np.asarray(p2["clip"]["w"]),
                                   params["clip"]["w"])
+
+
+def test_checkpoint_missing_nonelided_key_raises(tmp_path):
+    """The elision marker keeps corruption loud: only keys the writer
+    explicitly elided may restore from the template; any other gap is a
+    KeyError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from multimodalpromptretrieval_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"w": np.ones((4, 4))}
+    opt = {"m": {"w": np.full((4, 4), 0.5)},
+           "v": {"w": np.full((4, 4), 0.25)},
+           "step": np.asarray(3)}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, opt)
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    del arrays["opt/v/w"]  # simulate truncation of a REAL moment
+    np.savez(path, **arrays)
+    template = {"m": {"w": np.zeros((4, 4))}, "v": {"w": np.zeros((4, 4))},
+                "step": np.asarray(0)}
+    with _pytest.raises(KeyError):
+        load_checkpoint(path, params, template)

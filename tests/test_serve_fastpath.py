@@ -230,3 +230,97 @@ def test_fastpath_rebuilds_tables_after_index_extend(trained):
         assert fast._hint_tables.aid.shape[0] == len(dup) > n_before
     finally:
         trained.retrieval_index = orig
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: prompt-level exactness conditions (concat_safe)
+# ---------------------------------------------------------------------------
+
+
+def test_concat_safe_rejects_trailing_whitespace_and_added_tokens():
+    tok = _toy_tokenizer()
+    assert tok.concat_safe("is this a lung?", "I")
+    # trailing whitespace: full-string encode keeps a separator the
+    # standalone encode strips
+    assert not tok.concat_safe("is this a lung? ", "I")
+    assert not tok.concat_safe("is this a lung? ", "I")  # NBSP
+    assert not tok.concat_safe("is this a lung? ", "I")  # thin space
+    assert not tok.concat_safe("", "I")
+    # prompt ending with an added token: the continuation would start a
+    # fresh chunk (dummy prefix) in the full-string encode
+    tok.add_tokens(["[itk]"])
+    assert not tok.concat_safe("what is this [itk]", "I")
+    assert tok.concat_safe("is this a lung?", "I")
+
+
+def test_concat_safe_matches_actual_encode_on_edge_prompts():
+    """For every prompt concat_safe accepts, the split encode must equal
+    the whole-string encode; for the rejected edge prompts, it diverges
+    (documenting why the guard exists)."""
+    tok = _toy_tokenizer()
+    tok.add_tokens(["[itk]"])
+    hint = "I believe the answer is certainly lung"
+    cont = tok.encode_continuation(hint)
+    for p in ["is this a lung?", "what organ is shown?",
+              "Answer the open question: is this a lung?"]:
+        assert tok.concat_safe(p, "I")
+        assert tok.encode(p + hint) == (tok.encode(p, add_eos=False)
+                                        + cont + [tok.eos_id])
+    for p in ["is this a lung? ", "what is this [itk]"]:
+        assert not tok.concat_safe(p, "I")
+        assert tok.encode(p + hint) != (tok.encode(p, add_eos=False)
+                                        + cont + [tok.eos_id])
+
+
+def test_fastpath_falls_back_on_unsafe_questions(trained):
+    """A single trailing-whitespace question must push the whole call to
+    the host pipeline, with identical answers."""
+    fast = MPRServer(trained, prompt_fastpath=True)
+    host = MPRServer(trained, prompt_fastpath=False)
+    entries = trained.dataset_test.entries[:4]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    questions[2] = questions[2] + " "  # unsafe junction
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    a_fast = fast.answer(images, questions, tasks, image_ids=ids)
+    a_host = host.answer(images, questions, tasks, image_ids=ids)
+    assert a_fast == a_host
+    assert fast._fused_predict is None  # fused step never engaged
+
+
+def test_hint_tables_invalidated_by_tokenizer_mutation(trained):
+    """Adding a token AFTER the tables were built must invalidate them —
+    the cached rows were tokenized under the old vocabulary."""
+    fast = MPRServer(trained, prompt_fastpath=True)
+    assert fast._ensure_hint_tables() is not None
+    tok = trained.tokenizer
+    added_before = dict(tok.added)
+    tok.add_tokens(["answer"])  # appears in the hint template text
+    try:
+        assert fast._ensure_hint_tables() is None  # rebuild attempted, bails
+    finally:
+        for t in list(tok.added):
+            if t not in added_before:
+                del tok._added_rev[tok.added.pop(t)]
+        if hasattr(tok, "_bigrams"):
+            del tok._bigrams
+    assert fast._ensure_hint_tables() is not None  # and recovers
+
+
+def test_hint_tables_unavailable_when_added_token_in_template(trained):
+    """An added token matching hint-template text ('answer') defeats
+    continuation tokenization — the builder must bail to the host path."""
+    tok = trained.tokenizer
+    added_before = dict(tok.added)
+    tok.add_tokens(["answer"])
+    try:
+        ht = build_hint_tables(trained.retrieval_index, tok,
+                               use_quantifier=trained.use_quantifier)
+        assert ht is None
+    finally:
+        for t in list(tok.added):
+            if t not in added_before:
+                del tok._added_rev[tok.added.pop(t)]
+        if hasattr(tok, "_bigrams"):
+            del tok._bigrams
