@@ -362,7 +362,9 @@ def run_train(args, data_dir: str) -> float:
     params = exp.params
     opt_state = adamw_init(params)
     step = pmesh.make_train_step(cfg, exp.trainable, mesh=exp.mesh)
-    key = jax.random.PRNGKey(0)
+    from multimodalpromptretrieval_tpu.train.rng import dropout_key
+
+    key = dropout_key(0)  # hardware-RNG dropout, as Experiment.train uses
     lr = jnp.float32(1e-4)
     # TWO warmup steps: the first compiles; the second absorbs the
     # one-time relowering when the donated outputs' layouts become the

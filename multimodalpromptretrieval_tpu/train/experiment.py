@@ -54,6 +54,7 @@ from multimodalpromptretrieval_tpu.text import (
 )
 from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
 from multimodalpromptretrieval_tpu.train.metrics import TestMetrics
+from multimodalpromptretrieval_tpu.train import rng as rng_util
 from multimodalpromptretrieval_tpu.train.optim import (
     ReduceLROnPlateau,
     adamw_init,
@@ -97,6 +98,10 @@ class Experiment:
             mesh = pmesh.get_mesh(n_data=n)
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(cfg.get("seed", 88))
+        # separate hardware-RNG stream for per-step dropout (train/rng.py);
+        # init keeps the threefry stream above so initial params are
+        # independent of this choice
+        self.dropout_rng = rng_util.dropout_key(cfg.get("seed", 88))
         random.seed(cfg.get("seed", 88))
         np.random.seed(cfg.get("seed", 88))
 
@@ -616,7 +621,7 @@ class Experiment:
                 if i + 1 < len(batches):
                     device_batches[(i + 1) % 2] = self.device_batch(
                         batches[i + 1])
-                self.rng, key = jax.random.split(self.rng)
+                self.dropout_rng, key = jax.random.split(self.dropout_rng)
                 if track_train_acc:
                     preds = np.asarray(self.predict_step()(self.params, db))
                     if self.model_cfg.use_prediction_head:
