@@ -66,7 +66,9 @@ def main():
     params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg_row)
     trainable = mprgen.trainable_mask(params, cfg_row)
     opt = adamw_init(params)
-    key = jax.random.PRNGKey(1)
+    from multimodalpromptretrieval_tpu.train.rng import dropout_key
+
+    key = dropout_key(1)  # hardware-RNG dropout, as the train loop uses
     lr = jnp.float32(1e-4)
 
     batch = {
