@@ -228,9 +228,14 @@ def _bench_experiment(args, data_dir: str, tiny: bool):
 
 def _steady_windows(server, questions, tasks, ids, n: int, args):
     """Measure the staged steady state over several timed windows; returns
-    (best, median) QA/s. The tunneled host<->device wire swings run-to-run
-    (docs/TPU_NOTES.md: ~±10% across one day on identical code), so one
-    window is a noisy draw."""
+    (best, median, pipelined_best) QA/s. The tunneled host<->device wire
+    swings run-to-run (docs/TPU_NOTES.md: ~±10% across one day on
+    identical code), so one window is a noisy draw.
+
+    Serial = one blocking answer() per request (every per-call host edge
+    exposed). Pipelined = submit()/result() with one request in flight,
+    the way a real server drains a queue — request i+1's head (SPM
+    encode) and request i's tail (fetch + detok) overlap device compute."""
     import statistics
 
     server.answer(None, questions, tasks, image_ids=ids)  # staged warmup
@@ -243,11 +248,25 @@ def _steady_windows(server, questions, tasks, ids, n: int, args):
                                        image_ids=ids))
         windows.append(total / (time.perf_counter() - t0))
         assert total == n * args.e2e_iters
-    return max(windows), statistics.median(windows)
+    pwindows = []
+    for _ in range(args.e2e_windows):
+        t0 = time.perf_counter()
+        total = 0
+        prev = None
+        for _ in range(args.e2e_iters):
+            h = server.submit(None, questions, tasks, image_ids=ids)
+            if prev is not None:
+                total += len(prev.result())
+            prev = h
+        total += len(prev.result())
+        pwindows.append(total / (time.perf_counter() - t0))
+        assert total == n * args.e2e_iters
+    return max(windows), statistics.median(windows), max(pwindows)
 
 
 def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True):
-    # -> (best, median) QA/s, or None when no checkpoint and not training
+    # -> (best, median, pipelined_best) QA/s, or None when no checkpoint
+    # and not training
     """Steady-state QA/s with a TRAINED checkpoint and decode early-exit.
 
     The serving decode loop exits when every row has emitted EOS
@@ -332,8 +351,9 @@ def run_e2e(args, data_dir: str):
     assert total == n * args.e2e_iters
 
     server.stage_images(images, ids)
-    steady, median = _steady_windows(server, questions, tasks, ids, n, args)
-    return steady, median, cold
+    steady, median, piped = _steady_windows(server, questions, tasks, ids,
+                                            n, args)
+    return steady, median, piped, cold
 
 
 def run_train(args, data_dir: str) -> float:
@@ -429,45 +449,49 @@ def main():
             "metric": "slake_serve_qa_pairs_per_sec", "value": round(v, 2),
             "unit": "QA/s", "vs_baseline": round(v / baseline, 4)}))
     elif args.mode == "e2e":
-        steady, median, cold = run_e2e(args, args.data_dir)
+        steady, median, piped, cold = run_e2e(args, args.data_dir)
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e",
             "value": round(steady, 2),
             "unit": "QA/s", "vs_baseline": round(steady / baseline, 4),
             "e2e_median_of_windows": round(median, 2),
+            "e2e_pipelined_qa_per_sec": round(piped, 2),
             "e2e_cold_images_over_wire": round(cold, 2)}))
     elif args.mode == "e2e_trained":
-        best, median = run_e2e_trained(args, args.data_dir)
+        best, median, piped = run_e2e_trained(args, args.data_dir)
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e_trained",
             "value": round(best, 2), "unit": "QA/s",
             "vs_baseline": round(best / baseline, 4),
-            "e2e_trained_median_of_windows": round(median, 2)}))
+            "e2e_trained_median_of_windows": round(median, 2),
+            "e2e_trained_pipelined_qa_per_sec": round(piped, 2)}))
     elif args.mode == "train":
         v = run_train(args, args.data_dir)
         print(json.dumps({
             "metric": "train_examples_per_sec", "value": round(v, 2),
             "unit": "ex/s", "vs_baseline": None}))
     else:  # all: steady-state e2e is the headline; the rest ride along
-        steady, median, cold = run_e2e(args, args.data_dir)
+        steady, median, piped, cold = run_e2e(args, args.data_dir)
         dev = run_device(args)
         trn = run_train(args, args.data_dir)
         try:
             out = run_e2e_trained(args, args.data_dir,
                                   train_if_missing=False)
-            trained, trained_med = (
-                (round(out[0], 2), round(out[1], 2)) if out is not None
-                else (None, None))
+            trained, trained_med, trained_piped = (
+                tuple(round(v, 2) for v in out) if out is not None
+                else (None, None, None))
         except Exception:  # never let the extra number sink the record
-            trained = trained_med = None
+            trained = trained_med = trained_piped = None
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e",
             "value": round(steady, 2), "unit": "QA/s",
             "vs_baseline": round(steady / baseline, 4),
             "e2e_median_of_windows": round(median, 2),
+            "e2e_pipelined_qa_per_sec": round(piped, 2),
             "e2e_cold_images_over_wire": round(cold, 2),
             "e2e_trained_earlystop_qa_per_sec": trained,
             "e2e_trained_median_of_windows": trained_med,
+            "e2e_trained_pipelined_qa_per_sec": trained_piped,
             "device_only_qa_per_sec": round(dev, 2),
             "train_ex_per_sec": round(trn, 2)}))
 

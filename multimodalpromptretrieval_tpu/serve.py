@@ -31,6 +31,26 @@ import numpy as np
 import jax.numpy as jnp
 
 
+class AnswerHandle:
+    """Ticket for a :meth:`MPRServer.submit` request.
+
+    ``result()`` blocks until the request's answers are complete (draining
+    any older in-flight requests first — completion order is submission
+    order) and returns the answer strings."""
+
+    def __init__(self, server: "MPRServer", n_chunks: int):
+        self._server = server
+        self._remaining = n_chunks
+        self.answers: List[str] = []
+
+    def done(self) -> bool:
+        return self._remaining == 0
+
+    def result(self) -> List[str]:
+        self._server._drain(self)
+        return self.answers
+
+
 class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
                  max_new_tokens: int = 20, prompt_fastpath: bool = True):
@@ -41,6 +61,7 @@ class MPRServer:
         self.exp = experiment
         self.max_new_tokens = max_new_tokens
         self.prompt_fastpath = prompt_fastpath
+        self._queue: List[tuple] = []  # (handle, pending_preds, k, classify)
         if load_checkpoint and os.path.exists(experiment.model_path):
             experiment.params, _, _ = ckpt.load_checkpoint(
                 experiment.model_path, experiment.params)
@@ -194,8 +215,23 @@ class MPRServer:
     def answer(self, images: np.ndarray, questions: Sequence[str],
                tasks: Optional[Sequence[str]] = None,
                image_ids: Optional[Sequence] = None) -> List[str]:
+        """Synchronous one-shot: ``submit(...).result()`` (see below)."""
+        return self.submit(images, questions, tasks,
+                           image_ids=image_ids).result()
+
+    def submit(self, images: np.ndarray, questions: Sequence[str],
+               tasks: Optional[Sequence[str]] = None,
+               image_ids: Optional[Sequence] = None) -> AnswerHandle:
         """images: (N, 3, R, R) preprocessed (ops/image.clip_preprocess);
-        returns N answer strings.
+        returns an :class:`AnswerHandle` whose ``result()`` yields the N
+        answer strings.
+
+        ``submit`` returns with up to one chunk still in flight on the
+        device, so a caller that pipelines requests
+        (``h = submit(next); prev.result()``) overlaps the previous
+        request's tail (final ~26 ms fetch + detokenize) and the next
+        request's head (first chunk's SPM encode) with device compute —
+        the per-call host edges a serial ``answer()`` loop exposes.
 
         ``image_ids`` (optional): a stable id per row; rows sharing an id
         share one upload + ViT pass, and ids previously passed to
@@ -316,32 +352,37 @@ class MPRServer:
             classify=classify)
 
     def _run_pipeline(self, starts, dispatch_fn,
-                      classify: bool = False) -> List[str]:
+                      classify: bool = False) -> AnswerHandle:
         """Software pipeline over chunks: chunk i's predict is in flight
         while the host encodes chunk i+1 and consumes chunk i-1's
         answers. ``dispatch_fn(i, start) -> (pending_preds, n_valid)``.
         Shared by the host and fused serve loops so padding/pipeline
-        policy can't drift between them."""
-        exp = self.exp
-        out: List[str] = []
+        policy can't drift between them.
 
-        def consume(pending):
-            preds, k = pending.pop(0)
-            for row in np.asarray(preds)[:k]:
-                if classify:  # BAN / prediction-head: class id -> answer
-                    out.append(exp.label2ans[int(row)])
-                else:
-                    out.append(exp.tokenizer.decode(
-                        row, skip_special_tokens=True))
-
-        ppend = []
+        The pending queue lives on the server (not the call frame), so
+        the LAST chunk stays in flight when :meth:`submit` returns — the
+        cross-request half of the pipeline. ``result()`` drains it."""
+        handle = AnswerHandle(self, len(starts))
         for i, s in enumerate(starts):
-            ppend.append(dispatch_fn(i, s))
-            if len(ppend) > 1:
-                consume(ppend)
-        while ppend:
-            consume(ppend)
-        return out
+            self._queue.append((handle, *dispatch_fn(i, s), classify))
+            while len(self._queue) > 1:
+                self._consume_one()
+        return handle
+
+    def _consume_one(self) -> None:
+        exp = self.exp
+        handle, preds, k, classify = self._queue.pop(0)
+        for row in np.asarray(preds)[:k]:
+            if classify:  # BAN / prediction-head: class id -> answer
+                handle.answers.append(exp.label2ans[int(row)])
+            else:
+                handle.answers.append(exp.tokenizer.decode(
+                    row, skip_special_tokens=True))
+        handle._remaining -= 1
+
+    def _drain(self, handle: AnswerHandle) -> None:
+        while not handle.done():
+            self._consume_one()
 
     def _answer_fused(self, prompts: Sequence[str],
                       questions: Sequence[str], rowmap: np.ndarray,

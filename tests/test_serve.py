@@ -92,3 +92,32 @@ def test_server_staged_images_skip_upload_and_match(trained):
     extra_ids = ids[:-1] + ["never-staged"]
     fallback = server.answer(images, questions, tasks, image_ids=extra_ids)
     assert len(fallback) == len(questions)
+
+
+def test_submit_result_pipelining_matches_serial(trained):
+    """submit()/result() with requests in flight must return the same
+    answers as serial answer() calls, in submission order, with the
+    queue fully drained afterwards."""
+    server = MPRServer(trained)
+    entries = (trained.dataset_test.entries * 2)[:9]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    server.stage_images(images, ids)
+    serial = server.answer(None, questions, tasks, image_ids=ids)
+
+    # two requests in flight before the first result() is taken
+    h1 = server.submit(None, questions, tasks, image_ids=ids)
+    h2 = server.submit(None, questions[:5], tasks[:5], image_ids=ids[:5])
+    assert h1.result() == serial
+    assert h1.done()
+    assert h2.result() == serial[:5]
+    assert server._queue == []
+
+    # result() out of submission order still drains correctly
+    h3 = server.submit(None, questions[:3], tasks[:3], image_ids=ids[:3])
+    h4 = server.submit(None, questions, tasks, image_ids=ids)
+    assert h4.result() == serial  # drains h3's chunks first
+    assert h3.done() and h3.result() == serial[:3]
+    assert server._queue == []
