@@ -187,3 +187,27 @@ def test_checkpoint_missing_nonelided_key_raises(tmp_path):
                 "step": np.asarray(0)}
     with _pytest.raises(KeyError):
         load_checkpoint(path, params, template)
+
+
+def test_dropout_key_fallback_without_rbg(monkeypatch):
+    """dropout_key must degrade to a plain threefry PRNGKey on runtimes
+    lacking the unsafe_rbg impl, and both kinds must drive the dropout
+    plumbing (split + bernoulli) identically."""
+    import jax
+
+    from multimodalpromptretrieval_tpu.train.rng import dropout_key
+
+    fast = dropout_key(0)
+    _, sub = jax.random.split(fast)
+    assert jax.random.bernoulli(sub, 0.5, (4,)).shape == (4,)
+
+    def boom(seed, impl=None):
+        raise ValueError("no such impl")
+
+    monkeypatch.setattr(jax.random, "key", boom)
+    fallback = dropout_key(0)
+    _, sub = jax.random.split(fallback)
+    assert jax.random.bernoulli(sub, 0.5, (4,)).shape == (4,)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(fallback),
+                                  np.asarray(jax.random.PRNGKey(0)))
