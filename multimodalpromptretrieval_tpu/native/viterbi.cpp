@@ -120,11 +120,14 @@ int32_t mpr_spm_encode(void* handle, const char* text, int32_t* out,
       back_id[end] = m->unk_id;
     }
   }
-  // backtrack
+  // backtrack; contiguous unk pieces fuse into one id (sentencepiece
+  // unigram_model.cc post-Viterbi merge — see text/spm.py viterbi_encode)
   std::vector<int32_t> rev;
   int j = n;
   while (j > 0 && back_pos[j] >= 0) {
-    rev.push_back(back_id[j]);
+    int32_t id = back_id[j];
+    if (!(id == m->unk_id && !rev.empty() && rev.back() == m->unk_id))
+      rev.push_back(id);
     j = back_pos[j];
   }
   int32_t cnt = 0;

@@ -198,7 +198,14 @@ def normalize_continuation(text: str) -> str:
 
 def viterbi_encode(vocab: UnigramVocab, normalized: str,
                    unk_penalty: float = 10.0) -> List[int]:
-    """Best unigram segmentation (max sum of piece scores)."""
+    """Best unigram segmentation (max sum of piece scores).
+
+    Matches sentencepiece's unigram model exactly, including the post-hoc
+    rule that CONTIGUOUS UNKNOWN pieces fuse into a single unk id
+    (sentencepiece unigram_model.cc Encode; HF tokenizers' ``fuse_unk``
+    replicates the same rule) — validated against the Rust ``tokenizers``
+    Unigram oracle in tests/test_tokenizer_oracle.py.
+    """
     n = len(normalized)
     if n == 0:
         return []
@@ -233,12 +240,13 @@ def viterbi_encode(vocab: UnigramVocab, normalized: str,
         if sc > best[i + 1]:
             best[i + 1] = sc
             back[i + 1] = (i, unk_id)
-    # backtrack
+    # backtrack (output reversed; fuse runs of unk — sentencepiece rule)
     out: List[int] = []
     j = n
     while j > 0:
         i, pid = back[j]
-        out.append(pid)
+        if not (pid == unk_id and out and out[-1] == unk_id):
+            out.append(pid)
         j = i
     out.reverse()
     return out
@@ -378,6 +386,15 @@ class T5SentencePieceTokenizer:
             self._bigrams = grams
         return self._bigrams
 
+    def _single_char_pieces(self) -> set:
+        """Characters that have their own single-character matchable piece
+        (such a char is never emitted as unk — see :meth:`boundary_safe`)."""
+        if not hasattr(self, "_singles"):
+            self._singles = {p for p, _, t in self.vocab.pieces
+                             if len(p) == 1 and t not in
+                             (PIECE_CONTROL, PIECE_UNKNOWN, PIECE_UNUSED)}
+        return self._singles
+
     def concat_safe(self, text: str, next_char: str) -> bool:
         """True iff ``encode(text + b) == encode(text, add_eos=False) +
         encode_continuation(b) + [eos]`` for any continuation ``b``
@@ -419,6 +436,15 @@ class T5SentencePieceTokenizer:
         if unicodedata.normalize("NFKC", pair) != pair:
             return False
         if prev_char.isspace() or next_char.isspace():
+            return False
+        # unk-fusion guard: contiguous unk pieces fuse into ONE id
+        # (sentencepiece rule, see viterbi_encode), so a junction where
+        # BOTH characters might be emitted as unk could merge across the
+        # cut. A char with its own single-char matchable piece is never
+        # unk in an optimal path (unk_score = min_normal - penalty is
+        # strictly worse), so one such side suffices.
+        singles = self._single_char_pieces()
+        if prev_char not in singles and next_char not in singles:
             return False
         return pair not in self._internal_bigrams()
 

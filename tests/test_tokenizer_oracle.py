@@ -1,0 +1,210 @@
+"""Cross-validate the host tokenizers against an independent PRODUCTION
+implementation: the HF `tokenizers` Rust library (same algorithms as the
+reference's sentencepiece / CLIP BPE stacks).
+
+The wire-format fixtures (test_tokenizer_assets.py) prove the LOADERS parse
+real file layouts; these tests prove the ALGORITHMS — unigram Viterbi
+(incl. sentencepiece's contiguous-unk fusion rule and tie-breaking) and the
+CLIP BPE merge loop — match a production oracle on thousands of fuzzed
+inputs. Reference tokenization entry points:
+/root/reference/architectures/T5VisionModel.py:57,161-167 (T5Tokenizer →
+sentencepiece unigram) and /root/reference/dataset/VQAFeatureDataset.py:147
+(clip.tokenize → BPE).
+"""
+
+import random
+import unicodedata
+
+import pytest
+
+tokenizers = pytest.importorskip("tokenizers")
+from tokenizers import Tokenizer  # noqa: E402
+from tokenizers.models import BPE, Unigram  # noqa: E402
+
+from multimodalpromptretrieval_tpu.text.clip_bpe import (  # noqa: E402
+    CLIPBPETokenizer,
+    bytes_to_unicode,
+)
+from multimodalpromptretrieval_tpu.text.spm import (  # noqa: E402
+    PIECE_CONTROL,
+    PIECE_NORMAL,
+    PIECE_UNKNOWN,
+    T5SentencePieceTokenizer,
+    UnigramVocab,
+    normalize,
+    viterbi_encode,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "what color is the liver in this picture",
+    "does the picture contain lungs or chest",
+    "how many organs are visible in the image",
+]
+
+
+def _oracle(vocab: UnigramVocab) -> Tokenizer:
+    """Rust Unigram over the same (piece, score) table, no normalizer or
+    pre-tokenizer: pure Viterbi on an already-normalized string. The Rust
+    model applies sentencepiece's min_score-10 unk fallback and fuses
+    contiguous unk output (fuse_unk), exactly the semantics we claim."""
+    return Tokenizer(Unigram([(p, s) for p, s, _ in vocab.pieces],
+                             vocab.unk_id, False))
+
+
+def _fuzz_strings(rng, alphabet, n, max_len=40):
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, max_len)))
+            for _ in range(n)]
+
+
+def _assert_matches_oracle(vocab, strings, use_native):
+    oracle = _oracle(vocab)
+    tok = T5SentencePieceTokenizer(vocab, use_native=use_native)
+    if use_native and tok._native is None:
+        pytest.skip("native viterbi unavailable")
+    for s in strings:
+        norm = normalize(s)
+        if use_native:
+            ours = list(tok._native.encode(norm))
+        else:
+            ours = viterbi_encode(vocab, norm)
+        theirs = oracle.encode(norm, add_special_tokens=False).ids
+        assert ours == theirs, (
+            f"divergence on {norm!r}: ours={ours} oracle={theirs}")
+
+
+# Oracle caveat: the Rust trie matches control pieces ("<pad>") on literal
+# text while sentencepiece (and we) never match them, so fuzz alphabets
+# exclude "<".
+ALPHA = "abcdefghijklmnopqrstuvwxyz 0123456789.?!'- "
+
+
+@pytest.mark.parametrize("use_native", [False, True],
+                         ids=["python", "native"])
+def test_unigram_viterbi_matches_rust_oracle(use_native):
+    vocab = UnigramVocab.build_toy(CORPUS)
+    rng = random.Random(0)
+    strings = _fuzz_strings(rng, ALPHA + "世界ßçé", 1500)
+    _assert_matches_oracle(vocab, strings, use_native)
+
+
+@pytest.mark.parametrize("use_native", [False, True],
+                         ids=["python", "native"])
+def test_unigram_tie_breaking_matches_oracle(use_native):
+    """Every multi-char piece scores identically → the DP is all ties;
+    any deviation in tie order or trie traversal shows up here."""
+    pieces = [("<pad>", 0.0, PIECE_CONTROL), ("</s>", 0.0, PIECE_CONTROL),
+              ("<unk>", 0.0, PIECE_UNKNOWN)]
+    for p in ["a", "b", "c", "ab", "bc", "abc", "ba", "cab", "bca",
+              "▁", "▁a", "▁ab", "▁abc"]:
+        pieces.append((p, -2.0, PIECE_NORMAL))
+    vocab = UnigramVocab(pieces)
+    rng = random.Random(1)
+    strings = _fuzz_strings(rng, "abc xZ", 2500, max_len=24)
+    _assert_matches_oracle(vocab, strings, use_native)
+
+
+@pytest.mark.parametrize("use_native", [False, True],
+                         ids=["python", "native"])
+def test_unigram_unk_fusion_matches_oracle(use_native):
+    """Runs of unknown characters must come out as ONE unk id
+    (sentencepiece unigram_model.cc post-Viterbi merge; regression for the
+    per-char-unk bug found by this oracle)."""
+    vocab = UnigramVocab.build_toy(CORPUS)
+    rng = random.Random(2)
+    # alphabet dominated by chars outside the vocab → long unk runs
+    strings = _fuzz_strings(rng, "界世ミοж∑ ab", 1500, max_len=20)
+    _assert_matches_oracle(vocab, strings, use_native)
+    tok = T5SentencePieceTokenizer(vocab, use_native=use_native)
+    ids = tok.encode("the 世界ミο dog", add_eos=False)
+    assert ids.count(tok.unk_id) == 1
+
+
+def test_unigram_unk_run_collapses_to_single_id():
+    vocab = UnigramVocab.build_toy(CORPUS)
+    one = viterbi_encode(vocab, normalize("ж"))
+    run = viterbi_encode(vocab, normalize("жжжж"))
+    assert one == run  # ▁ piece + exactly one fused unk
+
+
+def test_splice_contract_holds_with_unk_continuations():
+    """encode(a+b) == encode(a) + encode_continuation(b) whenever
+    concat_safe says so — including continuations that BEGIN with unknown
+    characters (the unk-fusion guard in boundary_safe must refuse junctions
+    where fusion could merge across the cut)."""
+    vocab = UnigramVocab.build_toy(CORPUS)
+    tok = T5SentencePieceTokenizer(vocab, use_native=False)
+    rng = random.Random(3)
+    checked = 0
+    for _ in range(3000):
+        a = "".join(rng.choice(ALPHA + "ж") for _ in range(rng.randint(1, 12)))
+        b = "".join(rng.choice(ALPHA + "ж") for _ in range(rng.randint(1, 12)))
+        # the junction char is b's RAW first char (NFKC'd): a b that begins
+        # with whitespace must be rejected by concat_safe, because
+        # normalize_continuation strips it while the full string keeps ▁
+        nb = unicodedata.normalize("NFKC", b)
+        if not nb:
+            continue
+        if not tok.concat_safe(a, nb[0]):
+            continue
+        checked += 1
+        whole = tok.encode(a + b)
+        parts = tok.encode(a, add_eos=False) + \
+            tok.encode_continuation(b) + [tok.eos_id]
+        assert whole == parts, (a, b, whole, parts)
+    assert checked > 200  # the guard must not make concat_safe vacuous
+
+
+def test_boundary_safe_refuses_double_unk_junction():
+    """A junction where both characters can only be unk would fuse across
+    the cut; boundary_safe must return False there."""
+    vocab = UnigramVocab.build_toy(CORPUS)
+    tok = T5SentencePieceTokenizer(vocab, use_native=False)
+    assert not tok.boundary_safe("ж", "ж")
+    assert tok.boundary_safe("g", "ж") or True  # may hold; must not crash
+    # sanity: ordinary letter junction outside vocab bigrams stays usable
+    assert any(tok.boundary_safe("g", c) for c in "qzj")
+
+
+# ---------------------------------------------------------------------------
+# CLIP BPE vs the Rust BPE model
+# ---------------------------------------------------------------------------
+
+
+def _toy_clip():
+    b2u = bytes_to_unicode()
+    chars = [b2u[b] for b in range(256)]
+    vocab = chars + [c + "</w>" for c in chars]
+    merges = [("t", "h"), ("th", "e</w>"), ("a", "n"), ("an", "d</w>"),
+              ("i", "n"), ("in", "g</w>"), ("e", "r</w>"), ("o", "u"),
+              ("th", "e"), ("ou", "t</w>"), ("e", "s</w>"), ("r", "es</w>")]
+    vocab += [a + b for a, b in merges]
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    return vocab, merges
+
+
+def test_clip_bpe_merge_loop_matches_rust_oracle():
+    vocab, merges = _toy_clip()
+    ours = CLIPBPETokenizer(vocab, merges)
+    oracle = Tokenizer(BPE({t: i for i, t in enumerate(vocab)}, merges,
+                           end_of_word_suffix="</w>", fuse_unk=False))
+    rng = random.Random(4)
+    words = ["the", "and", "thing", "other", "out", "theee", "anding",
+             "xyzthe", "router", "restes"]
+    for i in range(3000):
+        w = words[i % len(words)] if i % 3 == 0 else "".join(
+            rng.choice("theandingoulres") for _ in range(rng.randint(1, 14)))
+        got = ours._bpe(w).split(" ")
+        want = [oracle.id_to_token(j)
+                for j in oracle.encode(w, add_special_tokens=False).ids]
+        assert got == want, (w, got, want)
+
+
+def test_clip_native_fastpath_matches_python_on_oracle_vocab():
+    vocab, merges = _toy_clip()
+    tok = CLIPBPETokenizer(vocab, merges)
+    rng = random.Random(5)
+    qs = ["".join(rng.choice("the anding oulres!?.") for _ in
+                  range(rng.randint(1, 60))) for _ in range(300)]
+    for q in qs:
+        assert tok.encode(q) == tok._encode_py(q), q
