@@ -210,3 +210,52 @@ def test_image_embed_prefix_step_matches_separate_paths(mesh):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(prefix), np.asarray(ref_prefix),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_serve_step_sharded_matches_single_device(mesh):
+    """The ONE-jit serve program (CLIP text -> top-k -> in-graph vote ->
+    hint splice -> T5 encode+decode; parallel/mesh.make_fused_serve_step)
+    must produce identical greedy tokens batch-sharded over the mesh —
+    the multi-chip version of the serve fast path
+    (tests/test_serve_fastpath.py pins it against the host pipeline)."""
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    B, W, Lq = 16, 20, 10
+    E = cfg.clip.embed_dim
+    R = cfg.clip.image_resolution
+
+    images = jnp.asarray(rng.normal(size=(B, 3, R, R)), jnp.float32)
+    emb, prefix = pmesh.make_image_embed_prefix_step(cfg)(params, images)
+
+    q_ids = np.zeros((B, W), np.int32)
+    q_len = rng.integers(4, Lq + 1, size=(B,)).astype(np.int32)
+    for r in range(B):
+        q_ids[r, :q_len[r]] = rng.integers(2, cfg.t5.vocab_size,
+                                           size=(q_len[r],))
+    n_ans, hint_w, corpus = 6, 5, 40
+    batch = {
+        "prefix": prefix,
+        "q_ids": jnp.asarray(q_ids),
+        "q_len": jnp.asarray(q_len),
+        "clip_text_ids": jnp.asarray(rng.integers(
+            1, cfg.clip.vocab_size,
+            size=(B, cfg.clip.context_length)), jnp.int32),
+        "img_emb": emb.astype(jnp.float32),
+    }
+    index = jnp.asarray(rng.normal(size=(corpus, 2 * E)), jnp.float32)
+    index_sq = jnp.sum(jnp.square(index), axis=-1)
+    aid = jnp.asarray(rng.integers(0, n_ans, size=(corpus,)), jnp.int32)
+    hint_ids = jnp.asarray(rng.integers(
+        2, cfg.t5.vocab_size, size=(n_ans * 6, hint_w)), jnp.int32)
+    hint_len = jnp.asarray(rng.integers(
+        2, hint_w + 1, size=(n_ans * 6,)), jnp.int32)
+
+    kw = dict(k=3, use_quantifier=True, eos_id=1, max_new_tokens=4,
+              topk_impl="xla")
+    ref = pmesh.make_fused_serve_step(cfg, **kw)(
+        params, batch, index, index_sq, aid, hint_ids, hint_len)
+    got = pmesh.make_fused_serve_step(cfg, mesh=mesh, **kw)(
+        pmesh.shard_params(params, mesh), pmesh.shard_batch(batch, mesh),
+        index, index_sq, aid, hint_ids, hint_len)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
