@@ -379,6 +379,14 @@ def run_train(args, data_dir: str) -> float:
         "labels": rng.integers(2, cfg.t5.vocab_size,
                                size=(B, 8)).astype(np.int64),
     })
+    # Experiment.train trains from the cached frozen-trunk tokens (the
+    # vision tower is frozen, so its output is loop-invariant and computed
+    # once per unique image — experiment.build_vision_token_cache); the
+    # bench measures the same per-step program
+    vt_step = pmesh.make_vision_tokens_step(cfg, mesh=exp.mesh)
+    batch["vision_tokens"] = jax.device_put(
+        vt_step(exp.params, batch.pop("images")),
+        pmesh.batch_sharding(exp.mesh))
     params = exp.params
     opt_state = adamw_init(params)
     step = pmesh.make_train_step(cfg, exp.trainable, mesh=exp.mesh)

@@ -197,6 +197,38 @@ def mapping_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def vision_trunk(params: Params, cfg: MPRGenConfig,
+                 images: jnp.ndarray) -> jnp.ndarray:
+    """The FROZEN part of the visual path: (B, 3, R, R) images -> per-token
+    trunk features — all CLIP ViT tokens (B, 50, embed_dim) or the RN
+    layer4 grid (B, grid², C). The vision tower is always frozen
+    (T5VisionModel.py:29-30), so this output is loop-invariant across
+    training steps/epochs and may be computed once per unique image and
+    cached (Experiment caches it device-side; the trainable tail —
+    mapping / projection — still runs inside the train step)."""
+    if cfg.resnet is not None:
+        from multimodalpromptretrieval_tpu.models.resnet import (
+            resnet_grid_features,
+        )
+
+        grid = resnet_grid_features(params["clip_rn"], cfg.resnet, images)
+        # stop_gradient prunes the frozen tower's entire backward pass from
+        # the train step (the optimizer mask would discard those grads
+        # anyway)
+        return jax.lax.stop_gradient(grid)
+    tokens = clip_image_tokens(params["clip"], cfg.clip, images)
+    return jax.lax.stop_gradient(tokens)
+
+
+def prefix_from_vision_tokens(params: Params, cfg: MPRGenConfig,
+                              tokens: jnp.ndarray) -> jnp.ndarray:
+    """The TRAINABLE tail of the visual path: trunk features -> (B, P,
+    d_model) prefix (mapping MLP / t5-large projection / RN projection)."""
+    if cfg.resnet is not None:
+        return dense(tokens, params["rn_proj"]["w"], params["rn_proj"]["b"])
+    return image_prefix_from_tokens(params, cfg, tokens)
+
+
 def image_prefix(params: Params, cfg: MPRGenConfig,
                  images: jnp.ndarray) -> jnp.ndarray:
     """(B, 3, R, R) preprocessed images -> (B, 50, d_model) prefix tokens.
@@ -206,19 +238,8 @@ def image_prefix(params: Params, cfg: MPRGenConfig,
     to d_model for t5-large. RN path (get_resnet_features,
     T5VisionModel.py:90-105): layer4 grid features -> trainable projection.
     """
-    if cfg.resnet is not None:
-        from multimodalpromptretrieval_tpu.models.resnet import (
-            resnet_grid_features,
-        )
-
-        grid = resnet_grid_features(params["clip_rn"], cfg.resnet, images)
-        # the vision tower is ALWAYS frozen (T5VisionModel.py:29-30);
-        # stop_gradient prunes its entire backward pass from the train step
-        # (the optimizer mask would discard those grads anyway)
-        grid = jax.lax.stop_gradient(grid)
-        return dense(grid, params["rn_proj"]["w"], params["rn_proj"]["b"])
-    tokens = clip_image_tokens(params["clip"], cfg.clip, images)
-    return image_prefix_from_tokens(params, cfg, tokens)
+    return prefix_from_vision_tokens(
+        params, cfg, vision_trunk(params, cfg, images))
 
 
 def image_prefix_from_tokens(params: Params, cfg: MPRGenConfig,
@@ -235,14 +256,16 @@ def image_prefix_from_tokens(params: Params, cfg: MPRGenConfig,
 
 
 def combine_inputs(params: Params, cfg: MPRGenConfig, images, input_ids,
-                   text_mask):
+                   text_mask, tokens=None):
     """prepare_input parity (T5VisionModel.py:141-184): returns
     (inputs_embeds, attention_mask) with the image prefix prepended iff
-    use_image_info."""
+    use_image_info. ``tokens`` — precomputed :func:`vision_trunk` output
+    (frozen-tower cache) used in place of ``images`` when given."""
     question_embedding = params["t5"]["shared"][input_ids]
     if not cfg.use_image_info:
         return question_embedding, text_mask
-    prefix = image_prefix(params, cfg, images)
+    prefix = (prefix_from_vision_tokens(params, cfg, tokens)
+              if tokens is not None else image_prefix(params, cfg, images))
     B, P, _ = prefix.shape
     embeds = jnp.concatenate([prefix, question_embedding], axis=1)
     mask = jnp.concatenate(
@@ -256,19 +279,22 @@ def combine_inputs(params: Params, cfg: MPRGenConfig, images, input_ids,
 
 
 def generative_loss(params: Params, cfg: MPRGenConfig, images, input_ids,
-                    text_mask, labels, rng=None) -> jnp.ndarray:
+                    text_mask, labels, rng=None, tokens=None) -> jnp.ndarray:
     """forward(batch) -> CE loss (T5VisionModel.py:219-234). ``rng``
     enables HF-style T5 training dropout (the reference trains with
     model.train(), i.e. dropout 0.1 active)."""
-    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask,
+                                  tokens)
     return t5_loss(params["t5"], cfg.t5, embeds, mask, labels,
                    dropout_rng=rng)
 
 
 def generative_predict(params: Params, cfg: MPRGenConfig, images, input_ids,
-                       text_mask, max_new_tokens: int = 20) -> jnp.ndarray:
+                       text_mask, max_new_tokens: int = 20,
+                       tokens=None) -> jnp.ndarray:
     """predict(batch) -> generated token ids (T5VisionModel.py:196-207)."""
-    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask,
+                                  tokens)
     enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
     return t5_greedy_decode(params["t5"], cfg.t5, enc, mask,
                             max_new_tokens=max_new_tokens)
@@ -306,14 +332,15 @@ def _dropout(x, rate, rng):
 
 
 def head_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
-                text_mask, rng=None) -> jnp.ndarray:
+                text_mask, rng=None, tokens=None) -> jnp.ndarray:
     """Linear head over the last (padded) encoder position (quirk #10).
 
     The reference indexes [:, -1, :] under longest-padding
     (PredictionHead.py:45); with a fixed-width bucket the same position is
     prefix_len + (longest text in batch) - 1.
     """
-    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask)
+    embeds, mask = combine_inputs(params, cfg, images, input_ids, text_mask,
+                                  tokens)
     enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
     text_lens = jnp.sum(text_mask, axis=1)
     prefix = cfg.num_image_tokens if cfg.use_image_info else 0
@@ -324,14 +351,16 @@ def head_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
 
 
 def head_loss(params, cfg, images, input_ids, text_mask, class_labels,
-              rng=None):
-    logits = head_logits(params, cfg, images, input_ids, text_mask, rng)
+              rng=None, tokens=None):
+    logits = head_logits(params, cfg, images, input_ids, text_mask, rng,
+                         tokens)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
 
 
-def head_predict(params, cfg, images, input_ids, text_mask):
-    logits = head_logits(params, cfg, images, input_ids, text_mask)
+def head_predict(params, cfg, images, input_ids, text_mask, tokens=None):
+    logits = head_logits(params, cfg, images, input_ids, text_mask,
+                         tokens=tokens)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
@@ -341,7 +370,7 @@ def head_predict(params, cfg, images, input_ids, text_mask):
 
 
 def _ban_features(params: Params, cfg: MPRGenConfig, images, input_ids,
-                  text_mask):
+                  text_mask, tokens=None):
     """BAN prepare_input (BAN.py:116-139): L2-normalized question token
     embeddings (encoder input) and L2-normalized image tokens; the prompt
     carries no retrieval hint and no image prefix."""
@@ -349,14 +378,16 @@ def _ban_features(params: Params, cfg: MPRGenConfig, images, input_ids,
     q = q / jnp.sqrt(jnp.sum(jnp.square(q), axis=2, keepdims=True))
     # same patched visual forward as the generative path (BAN.py:119 calls
     # vision_model.visual, i.e. ViT tokens / RN grid features + projection)
-    img = image_prefix(params, cfg, images)
+    img = (prefix_from_vision_tokens(params, cfg, tokens)
+           if tokens is not None else image_prefix(params, cfg, images))
     img = img / jnp.sqrt(jnp.sum(jnp.square(img), axis=2, keepdims=True))
     return q, img
 
 
 def ban_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
-               text_mask, rng=None) -> jnp.ndarray:
-    q_emb, img = _ban_features(params, cfg, images, input_ids, text_mask)
+               text_mask, rng=None, tokens=None) -> jnp.ndarray:
+    q_emb, img = _ban_features(params, cfg, images, input_ids, text_mask,
+                               tokens)
     enc = t5_encode(params["t5"], cfg.t5, q_emb, text_mask)
     r_att = r_res = r_drop = None
     if rng is not None:
@@ -370,14 +401,16 @@ def ban_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
 
 
 def ban_loss(params, cfg, images, input_ids, text_mask, class_labels,
-             rng=None):
-    logits = ban_logits(params, cfg, images, input_ids, text_mask, rng)
+             rng=None, tokens=None):
+    logits = ban_logits(params, cfg, images, input_ids, text_mask, rng,
+                        tokens)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
 
 
-def ban_predict(params, cfg, images, input_ids, text_mask):
-    logits = ban_logits(params, cfg, images, input_ids, text_mask)
+def ban_predict(params, cfg, images, input_ids, text_mask, tokens=None):
+    logits = ban_logits(params, cfg, images, input_ids, text_mask,
+                        tokens=tokens)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
@@ -396,37 +429,51 @@ def cast_compute(params: Params, cfg: MPRGenConfig) -> Params:
         lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params)
 
 
-def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
-            rng=None):
-    """batch keys: images (B,3,R,R), input_ids (B,L), text_mask (B,L),
-    labels (B,T) for generative / class_labels (B,) for head variants."""
-    params = cast_compute(params, cfg)
+def _batch_visual(batch: Dict[str, jnp.ndarray], cfg: MPRGenConfig):
+    """(images, vision_tokens) from a batch, cast to the compute dtype.
+    ``vision_tokens`` — precomputed :func:`vision_trunk` output (the frozen
+    tower is loop-invariant, so Experiment caches it per unique image) —
+    takes precedence over raw ``images``."""
+    dt = jnp.dtype(cfg.compute_dtype)
     images = batch.get("images")
     if images is not None and cfg.compute_dtype != "float32":
-        images = images.astype(jnp.dtype(cfg.compute_dtype))
+        images = images.astype(dt)
+    tokens = batch.get("vision_tokens")
+    if tokens is not None and tokens.dtype != dt:
+        tokens = tokens.astype(dt)
+    return images, tokens
+
+
+def loss_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
+            rng=None):
+    """batch keys: images (B,3,R,R) — or vision_tokens (B,P,C), the cached
+    frozen-trunk features — input_ids (B,L), text_mask (B,L), labels (B,T)
+    for generative / class_labels (B,) for head variants."""
+    params = cast_compute(params, cfg)
+    images, tokens = _batch_visual(batch, cfg)
     if cfg.use_prediction_head and cfg.use_ban:
         return ban_loss(params, cfg, images, batch["input_ids"],
-                        batch["text_mask"], batch["class_labels"], rng)
+                        batch["text_mask"], batch["class_labels"], rng,
+                        tokens)
     if cfg.use_prediction_head:
         return head_loss(params, cfg, images, batch["input_ids"],
-                         batch["text_mask"], batch["class_labels"], rng)
+                         batch["text_mask"], batch["class_labels"], rng,
+                         tokens)
     return generative_loss(params, cfg, images, batch["input_ids"],
-                           batch["text_mask"], batch["labels"], rng)
+                           batch["text_mask"], batch["labels"], rng, tokens)
 
 
 def predict_fn(params, cfg: MPRGenConfig, batch: Dict[str, jnp.ndarray],
                max_new_tokens: int = 20):
     """Generated token ids (generative) or class ids (head variants)."""
     params = cast_compute(params, cfg)
-    images = batch.get("images")
-    if images is not None and cfg.compute_dtype != "float32":
-        images = images.astype(jnp.dtype(cfg.compute_dtype))
+    images, tokens = _batch_visual(batch, cfg)
     if cfg.use_prediction_head and cfg.use_ban:
         return ban_predict(params, cfg, images, batch["input_ids"],
-                           batch["text_mask"])
+                           batch["text_mask"], tokens)
     if cfg.use_prediction_head:
         return head_predict(params, cfg, images, batch["input_ids"],
-                            batch["text_mask"])
+                            batch["text_mask"], tokens)
     return generative_predict(params, cfg, images,
                               batch["input_ids"], batch["text_mask"],
-                              max_new_tokens)
+                              max_new_tokens, tokens)

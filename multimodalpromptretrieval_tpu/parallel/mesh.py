@@ -273,6 +273,28 @@ def make_image_embed_prefix_step(cfg: mprgen.MPRGenConfig, *,
     return jax.jit(step, **kwargs)
 
 
+def make_vision_tokens_step(cfg: mprgen.MPRGenConfig, *,
+                            mesh: Optional[Mesh] = None):
+    """fn(params, images) -> frozen-trunk features (ViT tokens (B, P, C)
+    or RN layer4 grid): the loop-invariant part of the visual path.
+    Experiment.train caches these per unique image so the per-step work is
+    only the trainable tail (mapping/projection) + T5."""
+
+    def step(params, images):
+        params = mprgen.cast_compute(params, cfg)
+        if cfg.compute_dtype != "float32":
+            import jax.numpy as jnp
+
+            images = images.astype(jnp.dtype(cfg.compute_dtype))
+        return mprgen.vision_trunk(params, cfg, images)
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = replicated(mesh)
+    return jax.jit(step, **kwargs)
+
+
 def make_image_prefix_step(cfg: mprgen.MPRGenConfig, *,
                            mesh: Optional[Mesh] = None):
     """fn(params, images) -> (B, P, d_model) visual prefixes."""

@@ -238,6 +238,9 @@ class Experiment:
         self._eval_step = None
         self._predict_step = None
         self._token_cache: Dict[str, Dict[tuple, List[int]]] = {}
+        # frozen-trunk vision-token cache: (device table (U, P, C),
+        # image_name -> row). Built by build_vision_token_cache.
+        self._vision_tokens = None
 
     # ------------------------------------------------------------------------
 
@@ -479,6 +482,59 @@ class Experiment:
                 table[n] = out[j]
         return table
 
+    def build_vision_token_cache(self, *entry_lists) -> bool:
+        """Precompute the FROZEN vision trunk once per unique image.
+
+        The tower is always frozen (T5VisionModel.py:29-30), so its
+        per-token output (mprgen.vision_trunk: all ViT tokens / RN grid) is
+        loop-invariant across steps and epochs. Caching it device-side
+        removes the tower forward from every train step (~30% of the step
+        at B=128, docs/TPU_NOTES.md) AND replaces the per-batch raw-image
+        upload (B·3·R² floats) with a (B, P, C) device-side gather. The
+        trainable tail (mapping MLP / projection) still runs in-step, so
+        gradients are unchanged — the cached trunk was stop_gradient'd
+        anyway.
+
+        Returns False (and leaves the image path in place) when the
+        variant takes no images, ``cache_vision_tokens`` is 0 in the
+        config, or the table would exceed ``vision_cache_max_bytes``
+        (default 4 GiB)."""
+        mcfg = self.model_cfg
+        if not (mcfg.use_image_info or mcfg.use_ban):
+            return False
+        if not self.cfg.get("cache_vision_tokens", True):
+            return False
+        seen: set = set()
+        names: List[str] = []
+        for entries in entry_lists:
+            for e in entries:
+                n = e["image_name"]
+                if n not in seen:
+                    seen.add(n)
+                    names.append(n)
+        if not names:
+            return False
+        step = pmesh.make_vision_tokens_step(mcfg, mesh=self.mesh)
+        B = self.batch_size
+        np_dt = np.dtype(mcfg.compute_dtype)
+        cap = int(self.cfg.get("vision_cache_max_bytes", 4 << 30))
+        parts = []
+        for s in range(0, len(names), B):
+            chunk = names[s:s + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            # upload in the compute dtype (the step casts on device anyway;
+            # half the wire bytes under bf16 — same rule as serve staging)
+            imgs = self.device_batch_from({"x": np.stack(
+                [self.images[n] for n in padded]).astype(np_dt)})["x"]
+            out = step(self.params, imgs)[:len(chunk)]
+            if s == 0 and len(names) * out[0].nbytes > cap:
+                return False
+            parts.append(out)
+        table = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        self._vision_tokens = (table,
+                               {n: i for i, n in enumerate(names)})
+        return True
+
     def make_split_batches(self, dataset: VQADataset, split_name: str,
                            shuffle: bool = False,
                            prefix_table: Optional[Dict[str, np.ndarray]]
@@ -490,16 +546,29 @@ class Experiment:
         seed = zlib.crc32(
             f"{split_name}:{int(self.cfg.get('seed', 88))}".encode())
         rng = np.random.default_rng(seed) if shuffle else None
+        needs_image = (self.model_cfg.use_image_info
+                       or self.model_cfg.use_ban)
+        vt = self._vision_tokens
+        use_vt = (prefix_table is None and needs_image and vt is not None
+                  and all(e["image_name"] in vt[1]
+                          for e in dataset.entries))
+        array_fns = None
+        if prefix_table is not None:
+            array_fns = {"prefix": lambda es: np.stack(
+                [prefix_table[e["image_name"]] for e in es])}
+        elif use_vt:
+            # rows into the device-resident frozen-trunk table; resolved
+            # to vision_tokens by device_batch (a device-side gather — no
+            # raw images cross the wire)
+            array_fns = {"vision_rows": lambda es: np.asarray(
+                [vt[1][e["image_name"]] for e in es], np.int32)}
         return make_batches(
             dataset.entries, self.batch_size,
             encode_fn=lambda e: self.encode_entry(e, split_name),
-            array_fns={"prefix": lambda es: np.stack(
-                [prefix_table[e["image_name"]] for e in es])}
-            if prefix_table is not None else None,
+            array_fns=array_fns,
             image_fn=(lambda es: np.stack(
                 [self.images[e["image_name"]] for e in es]))
-            if (prefix_table is None
-                and (self.model_cfg.use_image_info or self.model_cfg.use_ban))
+            if (prefix_table is None and not use_vt and needs_image)
             else None,
             target_fn=(lambda e: self.tokenizer.encode(
                 e["answer"], max_length=self.model_cfg.max_target_length))
@@ -511,7 +580,19 @@ class Experiment:
         )
 
     def device_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
-        return pmesh.shard_batch(batch.arrays, self.mesh)
+        rows = batch.arrays.get("vision_rows")
+        if rows is None:
+            return pmesh.shard_batch(batch.arrays, self.mesh)
+        out = pmesh.shard_batch(
+            {k: v for k, v in batch.arrays.items() if k != "vision_rows"},
+            self.mesh)
+        # device-side gather from the replicated frozen-trunk table, placed
+        # onto the data axis explicitly (jit with in_shardings rejects
+        # mismatched committed args rather than resharding them)
+        out["vision_tokens"] = jax.device_put(
+            jnp.take(self._vision_tokens[0], jnp.asarray(rows), axis=0),
+            pmesh.batch_sharding(self.mesh))
+        return out
 
     def device_batch_from(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
         return pmesh.shard_batch(arrays, self.mesh)
@@ -584,6 +665,11 @@ class Experiment:
             self.precompute_hints(self.dataset_train, "train")
             self.precompute_hints(self.dataset_validate, "validate")
 
+        # frozen vision tower ⇒ its trunk output is loop-invariant:
+        # compute it once per unique image (train ∪ validate) and train
+        # from the cached tokens (build_vision_token_cache docstring)
+        self.build_vision_token_cache(self.dataset_train.entries,
+                                      self.dataset_validate.entries)
         step = self.train_step()
         val_batches = self.make_split_batches(self.dataset_validate,
                                               "validate")
