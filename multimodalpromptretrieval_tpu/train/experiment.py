@@ -241,6 +241,8 @@ class Experiment:
         # frozen-trunk vision-token cache: (device table (U, P, C),
         # image_name -> row). Built by build_vision_token_cache.
         self._vision_tokens = None
+        # device-resident visual-prefix table for eval (stage_image_prefixes)
+        self._prefix_dev = None
 
     # ------------------------------------------------------------------------
 
@@ -535,10 +537,33 @@ class Experiment:
                                {n: i for i, n in enumerate(names)})
         return True
 
+    def stage_image_prefixes(self, entries) -> None:
+        """Device-resident visual-prefix table over the unique images of
+        ``entries`` (serve-style staging): ONE vision pass per unique
+        image, kept on device; eval batches gather their rows device-side
+        (``prefix_rows`` in make_split_batches), so prefixes never cross
+        the host wire — unlike :meth:`compute_image_prefixes`, which
+        returns host arrays that each batch re-uploads."""
+        seen: set = set()
+        names = [e["image_name"] for e in entries
+                 if not (e["image_name"] in seen or seen.add(e["image_name"]))]
+        step = pmesh.make_image_prefix_step(self.model_cfg, mesh=self.mesh)
+        B = self.batch_size
+        np_dt = np.dtype(self.model_cfg.compute_dtype)
+        parts = []
+        for s in range(0, len(names), B):
+            chunk = names[s:s + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            imgs = self.device_batch_from({"x": np.stack(
+                [self.images[n] for n in padded]).astype(np_dt)})["x"]
+            parts.append(step(self.params, imgs)[:len(chunk)])
+        table = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        self._prefix_dev = (table, {n: i for i, n in enumerate(names)})
+
     def make_split_batches(self, dataset: VQADataset, split_name: str,
                            shuffle: bool = False,
                            prefix_table: Optional[Dict[str, np.ndarray]]
-                           = None) -> List[Batch]:
+                           = None, prefix_rows: bool = False) -> List[Batch]:
         needs_labels = not self.model_cfg.use_prediction_head
         # zlib.crc32, not hash(): Python string hashing is salted per
         # process (PYTHONHASHSEED), which would make batch order — and the
@@ -553,7 +578,11 @@ class Experiment:
                   and all(e["image_name"] in vt[1]
                           for e in dataset.entries))
         array_fns = None
-        if prefix_table is not None:
+        if prefix_rows:
+            pd = self._prefix_dev[1]
+            array_fns = {"prefix_rows": lambda es: np.asarray(
+                [pd[e["image_name"]] for e in es], np.int32)}
+        elif prefix_table is not None:
             array_fns = {"prefix": lambda es: np.stack(
                 [prefix_table[e["image_name"]] for e in es])}
         elif use_vt:
@@ -568,7 +597,8 @@ class Experiment:
             array_fns=array_fns,
             image_fn=(lambda es: np.stack(
                 [self.images[e["image_name"]] for e in es]))
-            if (prefix_table is None and not use_vt and needs_image)
+            if (prefix_table is None and not prefix_rows and not use_vt
+                and needs_image)
             else None,
             target_fn=(lambda e: self.tokenizer.encode(
                 e["answer"], max_length=self.model_cfg.max_target_length))
@@ -580,18 +610,24 @@ class Experiment:
         )
 
     def device_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
-        rows = batch.arrays.get("vision_rows")
-        if rows is None:
+        gathers = (("vision_rows", "vision_tokens", self._vision_tokens),
+                   ("prefix_rows", "prefix", self._prefix_dev))
+        if not any(batch.arrays.get(k) is not None for k, _, _ in gathers):
             return pmesh.shard_batch(batch.arrays, self.mesh)
+        drop = {k for k, _, _ in gathers}
         out = pmesh.shard_batch(
-            {k: v for k, v in batch.arrays.items() if k != "vision_rows"},
+            {k: v for k, v in batch.arrays.items() if k not in drop},
             self.mesh)
-        # device-side gather from the replicated frozen-trunk table, placed
-        # onto the data axis explicitly (jit with in_shardings rejects
-        # mismatched committed args rather than resharding them)
-        out["vision_tokens"] = jax.device_put(
-            jnp.take(self._vision_tokens[0], jnp.asarray(rows), axis=0),
-            pmesh.batch_sharding(self.mesh))
+        for key, name, table in gathers:
+            rows = batch.arrays.get(key)
+            if rows is None:
+                continue
+            # device-side gather from the replicated table, placed onto the
+            # data axis explicitly (jit with in_shardings rejects mismatched
+            # committed args rather than resharding them)
+            out[name] = jax.device_put(
+                jnp.take(table[0], jnp.asarray(rows), axis=0),
+                pmesh.batch_sharding(self.mesh))
         return out
 
     def device_batch_from(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
@@ -795,11 +831,12 @@ class Experiment:
                             and mcfg.use_image_info
                             and self.cfg.get("cache_image_prefix", True))
         if use_prefix_cache:
-            prefix_table = self.compute_image_prefixes(
-                self.dataset_test.entries)
+            # serve-style staging: the prefix table stays ON DEVICE and
+            # batches gather their rows there (no per-batch prefix upload)
+            self.stage_image_prefixes(self.dataset_test.entries)
             step = pmesh.make_prefix_predict_step(mcfg, mesh=self.mesh)
             batches = self.make_split_batches(self.dataset_test, "test",
-                                              prefix_table=prefix_table)
+                                              prefix_rows=True)
         else:
             step = self.predict_step()
             batches = self.make_split_batches(self.dataset_test, "test")
