@@ -450,6 +450,33 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # The tunneled TPU backend occasionally fails/hangs at init
+    # (UNAVAILABLE swings, docs/TPU_NOTES.md) — probe it with retries so a
+    # transient outage doesn't sink a recorded bench run. Each probe runs
+    # in a subprocess because a hung in-process init can't be cancelled.
+    import subprocess
+    import sys as _sys
+
+    # env vars are too late (the sitecustomize pre-imports jax), so the
+    # probe pins the platform the way main.py --platform does
+    probe = "import jax; "
+    if args.platform:
+        probe += f"jax.config.update('jax_platforms', '{args.platform}'); "
+    probe += "jax.devices()"
+    for attempt in range(10):
+        try:
+            r = subprocess.run([_sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == 9:
+            break  # last resort: run anyway and let the real error surface
+        print(f"# backend probe failed (attempt {attempt + 1}/10); "
+              "retrying in 60s", file=_sys.stderr)
+        time.sleep(60)
+
     baseline = 2000.0
     if args.mode == "device":
         v = run_device(args)
