@@ -41,6 +41,43 @@ def pad_ids(rows: Sequence[Sequence[int]], width: int, pad_id: int = 0):
     return ids, mask
 
 
+def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
+                         batch_size: int, n_out: int = 1,
+                         first_chunk_guard=None):
+    """Run a jitted per-batch encoder once per item, in padded chunks.
+
+    The one loop behind the device-side staging caches (serve image
+    staging, ``Experiment.stage_image_prefixes``,
+    ``Experiment.build_vision_token_cache``): stack ``fetch(item)`` for
+    each chunk of ``batch_size`` items (tail padded by repeating the last
+    item), ``upload`` the stack, run ``step`` on it, slice off the pad
+    rows, and concatenate each output into a device-resident table.
+
+    ``items`` are unique keys (the caller dedupes). ``step(x)`` returns a
+    device array, or a tuple of ``n_out`` arrays, with leading axis
+    ``batch_size``. ``first_chunk_guard(first_rows) -> True`` aborts
+    (size-cap checks). Returns a tuple of ``n_out`` tables with leading
+    axis ``len(items)``, or None (guard tripped / no items).
+    """
+    if not items:
+        return None
+    import jax.numpy as jnp
+
+    outs: List[list] = [[] for _ in range(n_out)]
+    for s in range(0, len(items), batch_size):
+        chunk = list(items[s:s + batch_size])
+        padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+        res = step(upload(np.stack([fetch(it) for it in padded])))
+        if n_out == 1:
+            res = (res,)
+        for o, r in zip(outs, res):
+            o.append(r[:len(chunk)])
+        if s == 0 and first_chunk_guard is not None \
+                and first_chunk_guard(outs[0][0]):
+            return None
+    return tuple(jnp.concatenate(p) if len(p) > 1 else p[0] for p in outs)
+
+
 def pad_labels(rows: Sequence[Sequence[int]], width: int):
     """Target ids padded with -100 (the CE ignore index, HF parity)."""
     B = len(rows)

@@ -211,8 +211,9 @@ def decode_attention(q, k, v, bias=None, kv_mask=None, *, heads: int,
         return decode_attention_reference(
             q, k, v, bias, kv_mask, heads=heads, scale=scale)
     # batch block: K+V rows for the block (~3 MB single-buffered; the
-    # flat-2D working set adds ~2x that in fp32 transients)
-    bb = max(1, min(B, (3 * 1024 * 1024) // (2 * T * W * 2)))
+    # flat-2D working set adds ~2x that in fp32 transients). Sized by the
+    # actual element width — fp32 inputs would otherwise overrun 2x.
+    bb = max(1, min(B, (3 * 1024 * 1024) // (2 * T * W * k.dtype.itemsize)))
     while B % bb:
         bb -= 1
     kern = _make_kernel(bb, T, W, heads, Dh, scale, bias is not None,
@@ -334,11 +335,14 @@ def decode_attention_fused(q, k, v, bias=None, kv_mask=None, *, heads: int,
     if (W % 128 != 0 or T < 16) and not interpret:
         return decode_attention_reference(
             q, k, v, bias, kv_mask, heads=heads, scale=scale)
-    # block budget: K+V bf16 blocks + two (Bb*T, W) dt flats + one fp32
-    # flat ~= 8 * Bb * T * W bytes, plus double-buffered K/V pipelines;
+    # block budget: K+V dt blocks + two (Bb*T, W) dt flats + one fp32
+    # flat ~= 4*itemsize * Bb * T * W bytes (8 at bf16 — the on-chip
+    # probed value, kept exactly), plus double-buffered K/V pipelines;
     # ~5 MB keeps the worst case (cross-attention T=64) under the 16 MB
-    # scoped-VMEM limit (probed: 8 MB budget OOMs at 17.5 MB there)
-    bb = max(1, min(B, (5 * 1024 * 1024) // (8 * T * W)))
+    # scoped-VMEM limit (probed: 8 MB budget OOMs at 17.5 MB there).
+    # fp32 inputs double the divisor instead of overrunning.
+    bb = max(1, min(B, (5 * 1024 * 1024)
+                    // (4 * k.dtype.itemsize * T * W)))
     while B % bb:
         bb -= 1
     kern = _make_fused_kernel(bb, T, W, heads, Dh, scale, bias is not None,

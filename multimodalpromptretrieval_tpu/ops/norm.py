@@ -37,7 +37,10 @@ def _ln_kernel(x_ref, w_ref, b_ref, o_ref, *, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    # reciprocal(sqrt(..)), NOT lax.rsqrt: the approximate-rsqrt lowering
+    # is not guaranteed bit-equal to the jnp reference this kernel
+    # promises to match (ops/layers.layer_norm)
+    y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
     o_ref[...] = (y.astype(x.dtype) * w_ref[...] + b_ref[...]).astype(x.dtype)
 
 
@@ -45,7 +48,7 @@ def _rms_kernel(x_ref, w_ref, o_ref, *, eps):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    y = x32 * jax.lax.rsqrt(var + eps)
+    y = x32 * jnp.reciprocal(jnp.sqrt(var + eps))  # bit-equal to rms_norm
     o_ref[...] = (w_ref[...] * y.astype(x.dtype)).astype(x.dtype)
 
 

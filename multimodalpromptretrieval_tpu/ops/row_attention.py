@@ -281,6 +281,10 @@ def _packed_bwd(heads, scale, interpret, causal, res, g):
                                      (q, k, v, eff_bias, kv_mask), g)
     if bias is None:
         d_bias = None
+    elif causal:
+        # _row_bwd matched eff_bias (fp32); the cotangent must match the
+        # PRIMAL bias dtype or custom_vjp rejects it
+        d_bias = d_bias.astype(bias.dtype)
     return jnp.concatenate([dq, dk, dv], axis=-1), d_bias, None
 
 

@@ -74,6 +74,7 @@ class MPRServer:
         self._text_embed_step = None
         self._staged = None  # stage_images cache: (id -> row, emb, prefix)
         self._fused_predict = None
+        self._fused_key = None  # retrieval config the fused step captured
         self._hint_tables = None  # None = not built; False = unavailable
         self._hint_src = None  # (id, len) of the index the tables match
 
@@ -83,7 +84,8 @@ class MPRServer:
         tables or None when the corpus/tokenizer can't support it."""
         exp = self.exp
         src = (id(exp.retrieval_index), len(exp.retrieval_index),
-               len(getattr(exp.tokenizer, "added", {})))
+               len(getattr(exp.tokenizer, "added", {})),
+               exp.use_quantifier)  # the tables bake the bucket rows in
         if self._hint_src != src:
             # corpus extended in place, the index object replaced (even
             # by a same-length rebuild), or tokens added to the tokenizer
@@ -129,8 +131,11 @@ class MPRServer:
         per unique image for both consumers (token 0 of clip_image_tokens
         == encode_image); and the products never come back to the host —
         later stages gather rows device-side."""
-        import jax.numpy as _jnp
+        import numpy as _np
 
+        from multimodalpromptretrieval_tpu.data.batching import (
+            encode_unique_chunks,
+        )
         from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
 
         exp = self.exp
@@ -140,21 +145,15 @@ class MPRServer:
         first: dict = {}
         for i, iid in enumerate(image_ids):
             first.setdefault(iid, i)
-        uniq = list(first.values())
-        B = exp.batch_size
-        np_dt = _jnp.dtype(exp.model_cfg.compute_dtype)
-        embs, prefs = [], []
-        for s in range(0, len(uniq), B):
-            chunk = uniq[s:s + B]
-            padded = chunk + [chunk[-1]] * (B - len(chunk))
-            x = exp.device_batch_from(
-                {"x": images[padded].astype(np_dt)})["x"]
-            e, p = self._embed_prefix_step(exp.params, x)
-            embs.append(e[:len(chunk)])
-            prefs.append(p[:len(chunk)])
-        pos = {iid: j for j, iid in enumerate(first)}
-        return (pos, jnp.concatenate(embs) if len(embs) > 1 else embs[0],
-                jnp.concatenate(prefs) if len(prefs) > 1 else prefs[0])
+        if not first:  # zero-row request / empty staging call
+            return {}, None, None
+        np_dt = _np.dtype(exp.model_cfg.compute_dtype)
+        emb, pref = encode_unique_chunks(
+            list(first.values()), lambda i: images[i].astype(np_dt),
+            lambda x: exp.device_batch_from({"x": x})["x"],
+            lambda x: self._embed_prefix_step(exp.params, x),
+            exp.batch_size, n_out=2)
+        return {iid: j for j, iid in enumerate(first)}, emb, pref
 
     def stage_images(self, images: np.ndarray, image_ids: Sequence) -> None:
         """Upload + encode a corpus of images once; cache the device-side
@@ -258,6 +257,8 @@ class MPRServer:
         exp = self.exp
         mcfg = exp.model_cfg
         n = len(questions)
+        if n == 0:  # empty request: an already-done handle, result() == []
+            return AnswerHandle(self, 0)
         tasks = list(tasks) if tasks is not None else ["open"] * n
         B = exp.batch_size
         needs_image = mcfg.use_image_info or mcfg.use_ban
@@ -386,7 +387,7 @@ class MPRServer:
 
     def _answer_fused(self, prompts: Sequence[str],
                       questions: Sequence[str], rowmap: np.ndarray,
-                      emb_dev, pref_dev) -> List[str]:
+                      emb_dev, pref_dev) -> AnswerHandle:
         """Device-side prompt-construction serve loop: per chunk, ONE jit
         runs CLIP text embed → fused top-k → in-graph majority vote →
         pre-tokenized hint splice → T5 encode + greedy decode
@@ -409,13 +410,20 @@ class MPRServer:
         index = exp.retrieval_index
         B = exp.batch_size
         n = len(prompts)
-        if self._fused_predict is None:
+        # keyed by everything the step captures at trace time — rebuilt
+        # when the retrieval config changes underneath the server (e.g.
+        # exp.k reassigned, or the index flipped back to training phase),
+        # mirroring _ensure_hint_tables' invalidation
+        fkey = (exp.k, exp.use_quantifier, exp.tokenizer.eos_id,
+                index.topk_impl, index.is_training_phase)
+        if self._fused_predict is None or self._fused_key != fkey:
             self._fused_predict = pmesh.make_fused_serve_step(
                 mcfg, k=exp.k, use_quantifier=exp.use_quantifier,
                 eos_id=exp.tokenizer.eos_id,
                 max_new_tokens=self.max_new_tokens,
                 topk_impl=index.topk_impl,
                 skip_first=index.is_training_phase, mesh=exp.mesh)
+            self._fused_key = fkey
         step = self._fused_predict
 
         def dispatch(s: int):

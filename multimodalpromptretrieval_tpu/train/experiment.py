@@ -32,7 +32,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodalpromptretrieval_tpu.data.batching import Batch, make_batches
+from multimodalpromptretrieval_tpu.data.batching import (
+    Batch,
+    encode_unique_chunks,
+    make_batches,
+)
 from multimodalpromptretrieval_tpu.data.datasets import (
     VQADataset,
     create_ans2label,
@@ -517,23 +521,19 @@ class Experiment:
         if not names:
             return False
         step = pmesh.make_vision_tokens_step(mcfg, mesh=self.mesh)
-        B = self.batch_size
+        # upload in the compute dtype (the step casts on device anyway;
+        # half the wire bytes under bf16 — same rule as serve staging)
         np_dt = np.dtype(mcfg.compute_dtype)
         cap = int(self.cfg.get("vision_cache_max_bytes", 4 << 30))
-        parts = []
-        for s in range(0, len(names), B):
-            chunk = names[s:s + B]
-            padded = chunk + [chunk[-1]] * (B - len(chunk))
-            # upload in the compute dtype (the step casts on device anyway;
-            # half the wire bytes under bf16 — same rule as serve staging)
-            imgs = self.device_batch_from({"x": np.stack(
-                [self.images[n] for n in padded]).astype(np_dt)})["x"]
-            out = step(self.params, imgs)[:len(chunk)]
-            if s == 0 and len(names) * out[0].nbytes > cap:
-                return False
-            parts.append(out)
-        table = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        self._vision_tokens = (table,
+        out = encode_unique_chunks(
+            names, lambda n: self.images[n].astype(np_dt),
+            lambda x: self.device_batch_from({"x": x})["x"],
+            lambda x: step(self.params, x), self.batch_size,
+            first_chunk_guard=lambda rows:
+                len(names) * rows[0].nbytes > cap)
+        if out is None:
+            return False
+        self._vision_tokens = (out[0],
                                {n: i for i, n in enumerate(names)})
         return True
 
@@ -548,17 +548,13 @@ class Experiment:
         names = [e["image_name"] for e in entries
                  if not (e["image_name"] in seen or seen.add(e["image_name"]))]
         step = pmesh.make_image_prefix_step(self.model_cfg, mesh=self.mesh)
-        B = self.batch_size
         np_dt = np.dtype(self.model_cfg.compute_dtype)
-        parts = []
-        for s in range(0, len(names), B):
-            chunk = names[s:s + B]
-            padded = chunk + [chunk[-1]] * (B - len(chunk))
-            imgs = self.device_batch_from({"x": np.stack(
-                [self.images[n] for n in padded]).astype(np_dt)})["x"]
-            parts.append(step(self.params, imgs)[:len(chunk)])
-        table = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        self._prefix_dev = (table, {n: i for i, n in enumerate(names)})
+        out = encode_unique_chunks(
+            names, lambda n: self.images[n].astype(np_dt),
+            lambda x: self.device_batch_from({"x": x})["x"],
+            lambda x: step(self.params, x), self.batch_size)
+        self._prefix_dev = (out[0] if out else None,
+                            {n: i for i, n in enumerate(names)})
 
     def make_split_batches(self, dataset: VQADataset, split_name: str,
                            shuffle: bool = False,

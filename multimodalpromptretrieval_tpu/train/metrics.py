@@ -92,8 +92,13 @@ class TestMetrics:
         self.question_type_consistencies.append(
             sum(1 for x in retrieved_answer_types
                 if x == entry["question_type"]) / len(retrieved_answer_types))
-        # max(set(...), key=list.count) — the reference's most-frequent pick
-        most_freq = max(set(ra), key=ra.count)
+        # The reference picks max(set(...), key=list.count) (main.py:283)
+        # — but set iteration order is PYTHONHASHSEED-randomized, so on
+        # count ties the reported percentages differ per process. Break
+        # ties by first retrieval rank instead (the same rule the prompt
+        # vote uses, retrieval/index.majority_vote): one valid resolution
+        # of the reference's unspecified tie order, and process-stable.
+        most_freq = max(dict.fromkeys(ra), key=ra.count)
         proportion = ra.count(most_freq) / (self.k or len(ra))
         self.total_by_retrieved_dist[proportion] = \
             self.total_by_retrieved_dist.get(proportion, 0) + 1

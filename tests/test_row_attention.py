@@ -93,3 +93,21 @@ def test_packed_gradients_match_xla(causal):
     for a, r in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_packed_bias_grad_dtype_matches_primal():
+    """causal=True folds the mask into a fp32 eff_bias for the recompute
+    backward; the bias cotangent must still come back in the PRIMAL bias
+    dtype or custom_vjp rejects it."""
+    rng = np.random.default_rng(3)
+    B, L, W, H = 2, 6, 32, 2
+    qkv = jnp.asarray(rng.normal(size=(B, L, 3 * W)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(H, L, L)), jnp.bfloat16)
+
+    def loss(qkv, bias):
+        return jnp.sum(row_attention_packed(
+            qkv, bias, heads=H, scale=0.5, causal=True,
+            interpret=True).astype(jnp.float32))
+
+    _, g_bias = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    assert g_bias.dtype == jnp.bfloat16

@@ -121,3 +121,11 @@ def test_submit_result_pipelining_matches_serial(trained):
     assert h4.result() == serial  # drains h3's chunks first
     assert h3.done() and h3.result() == serial[:3]
     assert server._queue == []
+
+
+def test_empty_request_returns_empty(trained):
+    """A zero-row request must return [] (not crash in image staging)."""
+    server = MPRServer(trained)
+    assert server.answer(np.zeros((0, 3, 32, 32), np.float32), [], []) == []
+    h = server.submit(np.zeros((0, 3, 32, 32), np.float32), [], [])
+    assert h.done() and h.result() == []

@@ -324,3 +324,28 @@ def test_hint_tables_unavailable_when_added_token_in_template(trained):
                 del tok._added_rev[tok.added.pop(t)]
         if hasattr(tok, "_bigrams"):
             del tok._bigrams
+
+
+def test_fused_step_rebuilt_when_k_changes(trained):
+    """The fused serve step captures k/use_quantifier/skip_first at trace
+    time; changing the experiment's retrieval config must rebuild it (a
+    stale step would silently retrieve with the old settings)."""
+    server = MPRServer(trained, prompt_fastpath=True)
+    entries = trained.dataset_test.entries[:4]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    qs = [e["question"] for e in entries]
+    ts = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    server.answer(images, qs, ts, image_ids=ids)
+    key0 = server._fused_key
+    assert key0 is not None
+    old_k = trained.k
+    try:
+        trained.k = 1 if old_k != 1 else 2
+        changed = server.answer(images, qs, ts, image_ids=ids)
+        assert server._fused_key != key0
+        fresh = MPRServer(trained, prompt_fastpath=True).answer(
+            images, qs, ts, image_ids=ids)
+        assert changed == fresh
+    finally:
+        trained.k = old_k
