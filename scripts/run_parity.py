@@ -252,10 +252,12 @@ def main():
                 "(main.py:281,291-294) — with tied counts the winner comes "
                 "from *set iteration order*, which is salted by "
                 "PYTHONHASHSEED, so these two numbers differ between two "
-                "runs of the reference itself. This framework uses a "
-                "deterministic tie-break that equals the reference under "
-                "at least one hash seed (verified: PYTHONHASHSEED=2 "
-                "reproduces this framework's values exactly).",
+                "runs of the reference itself. This framework breaks such "
+                "ties deterministically by FIRST RETRIEVAL RANK (the same "
+                "rule the retrieval prompt vote uses — "
+                "train/metrics.py:95-101), so its numbers are identical "
+                "across processes; each reference run realizes one of the "
+                "possible salted tie resolutions.",
             ]
     lines += [
         "",
