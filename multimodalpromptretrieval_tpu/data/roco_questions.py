@@ -189,6 +189,13 @@ def read_roco_metadata(roco_root: str):
         for line in f:
             if "\t" in line:
                 rid, k = line.split("\t", 1)
+                # reference-exact (generate_roco_questions.py:95-96), BUGS
+                # INCLUDED: the id was already split off, so the extra
+                # [1:] drops the first real keyword of every image, and
+                # the last keyword keeps its trailing "\n" (no strip) so
+                # it can never match a bucket keyword. Replicated because
+                # the emitted question set and the RNG stream that
+                # follows are defined by this exact behavior.
                 keywords[rid] = [x.lower() for x in k.split("\t")][1:]
     return captions, keywords, os.path.join(base, "images")
 

@@ -28,16 +28,12 @@ from typing import Any, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from multimodalpromptretrieval_tpu.ops.layers import weight_norm_kernel
+from multimodalpromptretrieval_tpu.ops.layers import (
+    dropout as _dropout,
+    weight_norm_kernel,
+)
 
 Params = Dict[str, Any]
-
-
-def _dropout(x, rate, rng):
-    if rng is None or rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
 # -- FCNet ------------------------------------------------------------------
@@ -104,13 +100,20 @@ def bcnet_logits(p: Params, v, q, *, k: int, dropout=(0.2, 0.5), rng=None):
     return logits + p["h_bias"]
 
 
-def bcnet_forward_with_weights(p: Params, v, q, w, *, k: int, rng=None):
+def bcnet_forward_with_weights(p: Params, v, q, w, *, k: int,
+                               dropout: float = 0.2, rng=None):
     """v'ᵀ · w · q' with k-avg-pool sum-pooling (network/connect.py:95-105).
 
     v: (b, nv, v_dim), q: (b, nq, q_dim), w: (b, nv, nq) -> (b, h_dim).
+    The v_net/q_net FCNets carry their own Dropout(0.2) (BCNet builds
+    FCNet([...], dropout=dropout[0]) — network/connect.py:55-56), active
+    in reference training mode; pass an rng to enable it here.
     """
-    v_ = fcnet_apply(p["v_net"], v, rng=rng)   # (b, nv, h·k) — no dropout here
-    q_ = fcnet_apply(p["q_net"], q, rng=None)  # (b, nq, h·k)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    v_ = fcnet_apply(p["v_net"], v, dropout=dropout, rng=r1)  # (b, nv, h·k)
+    q_ = fcnet_apply(p["q_net"], q, dropout=dropout, rng=r2)  # (b, nq, h·k)
     # (b, d, 1, nv) @ (b, 1->d?, nv, nq): reference lifts w to (b,1,nv,nq) and
     # broadcasts over d: logits_d = vᵀ_d W q_d
     logits = jnp.einsum("bvd,bvq,bqd->bd", v_, w, q_)
@@ -153,13 +156,13 @@ def init_biresnet(key, v_dim: int, q_dim: int, glimpse: int) -> Params:
 def biresnet_apply(p: Params, v_emb, q_emb, att, *, rng=None):
     """Sequential glimpse fusion -> (b, q_dim). glimpse = len(p["b_net"])."""
     for g in range(len(p["b_net"])):
-        b_emb = bcnet_forward_with_weights(
-            p["b_net"][g], v_emb, q_emb, att[:, g], k=1)
-        sub = None
+        sub_b = sub_q = None
         if rng is not None:
-            rng, sub = jax.random.split(rng)
+            rng, sub_b, sub_q = jax.random.split(rng, 3)
+        b_emb = bcnet_forward_with_weights(
+            p["b_net"][g], v_emb, q_emb, att[:, g], k=1, rng=sub_b)
         # q_prj: FCNet([q,q], act='', dropout=.2) — no activation
         upd = fcnet_apply(p["q_prj"][g], b_emb[:, None], act="",
-                          dropout=0.2, rng=sub)
+                          dropout=0.2, rng=sub_q)
         q_emb = upd + q_emb
     return q_emb.sum(axis=1)

@@ -247,7 +247,15 @@ def truncate_text_ids(ids, multiple: int = 8):
     import numpy as np
 
     ids = np.asarray(ids)
-    lengths = (ids != 0).sum(axis=1)
+    # row length = LAST nonzero position + 1, not the nonzero COUNT: BPE
+    # id 0 is the real token '!' (first bytes_to_unicode entry), so a
+    # count would undercount rows containing '!' and could slice off the
+    # EOT column. Every valid row ends with EOT (nonzero), so the last
+    # nonzero is the EOT position.
+    nz = ids != 0
+    lengths = np.where(nz.any(axis=1),
+                       ids.shape[1] - nz[:, ::-1].argmax(axis=1),
+                       ids.shape[1])
     width = int(max(1, lengths.max()))
     width = min(ids.shape[1], -(-width // multiple) * multiple)
     return ids[:, :width]

@@ -52,7 +52,10 @@ from multimodalpromptretrieval_tpu.models.t5 import (
     t5_loss,
 )
 from multimodalpromptretrieval_tpu.models import ban as ban_ops
-from multimodalpromptretrieval_tpu.ops.layers import dense
+from multimodalpromptretrieval_tpu.ops.layers import (
+    dense,
+    dropout as _dropout,
+)
 
 Params = Dict[str, Any]
 
@@ -322,13 +325,6 @@ def generative_predict_from_prefix(params: Params, cfg: MPRGenConfig,
 # ---------------------------------------------------------------------------
 # Prediction-head variant
 # ---------------------------------------------------------------------------
-
-
-def _dropout(x, rate, rng):
-    if rng is None or rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
 def head_logits(params: Params, cfg: MPRGenConfig, images, input_ids,

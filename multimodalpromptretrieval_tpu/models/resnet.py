@@ -260,10 +260,15 @@ def resnet_from_openai(sd: Mapping[str, np.ndarray],
                 "conv3": jnp.asarray(sd[f"{pre}.conv3.weight"]),
                 "bn3": _bn_from(sd, f"{pre}.bn3"),
             }
-            if f"{pre}.downsample.1.weight" in sd:
+            # OpenAI CLIP names the downsample Sequential with an
+            # OrderedDict [("-1", AvgPool), ("0", Conv), ("1", BN)]
+            # (CLIP model.py Bottleneck), so the conv kernel is
+            # `downsample.0.weight` and the BN stats live at
+            # `downsample.1.*` — the AvgPool has no parameters
+            if f"{pre}.downsample.0.weight" in sd:
                 b["downsample"] = {
-                    "conv": jnp.asarray(sd[f"{pre}.downsample.1.weight"]),
-                    "bn": _bn_from(sd, f"{pre}.downsample.2"),
+                    "conv": jnp.asarray(sd[f"{pre}.downsample.0.weight"]),
+                    "bn": _bn_from(sd, f"{pre}.downsample.1"),
                 }
             blocks.append(b)
         params[f"layer{li + 1}"] = blocks

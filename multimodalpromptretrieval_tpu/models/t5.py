@@ -41,7 +41,12 @@ from multimodalpromptretrieval_tpu.ops.decode_attention import (
     decode_attention_indicator,
     decode_attention_reference,
 )
-from multimodalpromptretrieval_tpu.ops.layers import dense, gelu_new, rms_norm
+from multimodalpromptretrieval_tpu.ops.layers import (
+    dense,
+    dropout as _dropout,
+    gelu_new,
+    rms_norm,
+)
 
 Params = Dict[str, Any]
 
@@ -270,13 +275,6 @@ def _ff_block(p: Params, cfg: T5Config, x, rate: float = 0.0, rng=None):
         h = jax.nn.relu(dense(x, p["wi"]))
     h = _dropout(h, rate, rng)  # HF T5DenseActDense: dropout after act
     return dense(h, p["wo"])
-
-
-def _dropout(x, rate: float, rng):
-    if rng is None or rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
 def t5_encode(

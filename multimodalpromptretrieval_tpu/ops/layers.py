@@ -13,7 +13,19 @@ match the reference's torch implementations exactly at fp32:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale by 1/(1-rate) at train
+    time). Identity when ``rng`` is None (eval — ``model.eval()`` in the
+    reference driver) or ``rate`` <= 0. The one implementation shared by
+    the T5 / MPRGen / BAN dropout points."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -121,12 +121,20 @@ class RetrievalIndex:
         """Append another corpus (use_additional_retrieval_data:
         dataset/VQAFeatureDataset.py:169-181 appends the synthetic ROCO
         cache)."""
+        if set(self.question_info) != set(other.question_info):
+            # a silently-skipped key would leave that info list shorter
+            # than self.answers and IndexError on a later
+            # retrieve(return_info=...) over an appended row
+            raise ValueError(
+                "question_info keys differ: "
+                f"{sorted(self.question_info)} vs "
+                f"{sorted(other.question_info)}")
         self.embeddings = jnp.concatenate(
             [self.embeddings, other.embeddings], axis=0)
         self.index_sq = jnp.sum(jnp.square(self.embeddings), axis=-1)
         self.answers.extend(other.answers)
         for k in self.question_info:
-            self.question_info[k].extend(other.question_info.get(k, []))
+            self.question_info[k].extend(other.question_info[k])
 
     # -- persistence --------------------------------------------------------
 

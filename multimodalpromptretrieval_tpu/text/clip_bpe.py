@@ -185,8 +185,13 @@ class CLIPBPETokenizer:
         return result
 
     def decode(self, ids: Iterable[int]) -> str:
-        text = "".join(self.decoder[int(i)] for i in ids
-                       if int(i) not in (self.sot, self.eot, 0))
+        ids = [int(i) for i in ids]
+        if self.eot in ids:
+            # tokenize() zero-pads AFTER the EOT; cut there instead of
+            # filtering id 0 globally — 0 is the real token '!' (first
+            # bytes_to_unicode entry) and must survive inside the text
+            ids = ids[:ids.index(self.eot)]
+        text = "".join(self.decoder[i] for i in ids if i != self.sot)
         # byte-decode first ('<','/','w','>' are ordinary byte symbols), then
         # replace the word-end marker in the decoded string — openai/CLIP
         # simple tokenizer decode order.

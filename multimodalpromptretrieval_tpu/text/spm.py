@@ -86,11 +86,16 @@ class UnigramVocab:
     pieces: List[Tuple[str, float, int]]
     _trie: Dict[str, dict] = field(default_factory=dict, repr=False)
     _piece_to_id: Dict[str, int] = field(default_factory=dict, repr=False)
+    # lowest normal-piece score; the vocab is immutable after construction,
+    # so computed once here instead of per viterbi_encode call
+    min_score: float = field(default=-10.0, repr=False)
 
     def __post_init__(self):
         self._piece_to_id = {}
         for i, (p, _, _) in enumerate(self.pieces):
             self._piece_to_id.setdefault(p, i)
+        normal = [s for _, s, t in self.pieces if t == PIECE_NORMAL]
+        self.min_score = min(normal) if normal else -10.0
         # char trie: node = {char: node, ...; None: piece_id at terminal}
         self._trie = {}
         for i, (p, _, t) in enumerate(self.pieces):
@@ -213,9 +218,7 @@ def viterbi_encode(vocab: UnigramVocab, normalized: str,
     best = [NEG] * (n + 1)
     back: List[Tuple[int, int]] = [(-1, -1)] * (n + 1)
     best[0] = 0.0
-    min_score = min(s for _, s, t in vocab.pieces if t == PIECE_NORMAL) \
-        if any(t == PIECE_NORMAL for _, _, t in vocab.pieces) else -10.0
-    unk_score = min_score - unk_penalty
+    unk_score = vocab.min_score - unk_penalty
     unk_id = vocab.unk_id
     trie = vocab._trie
     pieces = vocab.pieces
@@ -344,9 +347,12 @@ class T5SentencePieceTokenizer:
         if add_eos:
             ids.append(self.eos_id)
         if max_length is not None and len(ids) > max_length:
-            # HF truncation keeps the first max_length tokens (the trailing
-            # EOS is truncated away, matching tokenizer(..., truncation=True))
-            ids = ids[:max_length]
+            # HF truncation removes CONTENT tokens and appends the special
+            # tokens afterwards, so a truncated sequence still ends with
+            # EOS (verified against transformers 4.57: tokenizer(...,
+            # truncation=True, max_length=N) -> N-1 content ids + [eos])
+            ids = (ids[:max_length - 1] + [self.eos_id] if add_eos
+                   else ids[:max_length])
         return ids
 
     def encode_continuation(self, text: str) -> List[int]:

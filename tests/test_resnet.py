@@ -31,10 +31,17 @@ class TorchBottleneck(nn.Module):
         self.downsample = None
         self.stride = stride
         if stride > 1 or inplanes != planes * 4:
-            self.downsample = nn.Sequential(
-                nn.AvgPool2d(stride) if stride > 1 else nn.Identity(),
-                nn.Conv2d(inplanes, planes * 4, 1, stride=1, bias=False),
-                nn.BatchNorm2d(planes * 4))
+            # the real CLIP layout: OrderedDict [("-1", AvgPool),
+            # ("0", Conv), ("1", BN)] -> state_dict keys downsample.0
+            # (conv) / downsample.1 (BN), which the converter must read
+            from collections import OrderedDict
+
+            self.downsample = nn.Sequential(OrderedDict([
+                ("-1", nn.AvgPool2d(stride) if stride > 1
+                 else nn.Identity()),
+                ("0", nn.Conv2d(inplanes, planes * 4, 1, stride=1,
+                                bias=False)),
+                ("1", nn.BatchNorm2d(planes * 4))]))
 
     def forward(self, x):
         identity = x

@@ -103,3 +103,16 @@ def test_extend_appends_corpus():
     assert len(idx) == 16
     assert idx.embeddings.shape[0] == 16
     assert len(idx.question_info["question_id"]) == 16
+
+
+def test_extend_rejects_mismatched_info_keys():
+    """A corpus whose question_info lacks a key must be rejected up front —
+    silently extending nothing would leave that info list shorter than
+    answers and IndexError on a later retrieve(return_info=...)."""
+    import pytest
+
+    idx, _ = _index(n=4)
+    other, _ = _index(n=3, seed=1)
+    other.question_info.pop("question_type", None)
+    with pytest.raises(ValueError, match="question_info keys"):
+        idx.extend(other)

@@ -182,3 +182,44 @@ def test_clip_tokenize_empty_string():
     out = t.tokenize([""])
     assert out.shape == (1, 8)
     assert out[0, 0] == t.sot and out[0, 1] == t.eot
+
+
+def test_truncation_keeps_eos():
+    """HF truncation removes CONTENT tokens and then appends EOS, so a
+    truncated sequence still ends with EOS (transformers 4.57 behavior:
+    tokenizer(..., truncation=True, max_length=N) -> N-1 content + eos)."""
+    tok = _toy()
+    full = tok.encode("is the lung healthy or not healthy", add_eos=True)
+    assert len(full) > 5
+    ids = tok.encode("is the lung healthy or not healthy", max_length=5)
+    assert len(ids) == 5
+    assert ids[-1] == tok.eos_id
+    assert ids[:4] == full[:4]
+    # without EOS the cut is a plain prefix
+    ids2 = tok.encode("is the lung healthy or not healthy", add_eos=False,
+                      max_length=5)
+    assert ids2 == full[:5]
+
+
+def test_clip_decode_keeps_bang_token():
+    """BPE id 0 is the real token '!' — decode must not drop it (only the
+    zero PADDING after the EOT is padding)."""
+    tok = CLIPBPETokenizer.build_toy(context_length=16)
+    arr = tok.tokenize(["hi!"])
+    assert 0 in arr[0]  # '!' tokenizes through id 0
+    assert "!" in tok.decode(arr[0])
+
+
+def test_truncate_text_ids_keeps_eot_with_bang():
+    """truncate_text_ids must size rows by the LAST nonzero (the EOT), not
+    the nonzero COUNT — id 0 ('!') inside the text must not shorten the
+    window past the EOT column."""
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.models.clip import truncate_text_ids
+
+    tok = CLIPBPETokenizer.build_toy(context_length=32)
+    arr = tok.tokenize(["hi ! ! ! ! ! ! ! !"])
+    cut = truncate_text_ids(arr, multiple=1)
+    row = np.asarray(cut)[0]
+    assert row[-1] == tok.eot  # EOT survives as the last column
