@@ -145,10 +145,17 @@ def make_batches(
             target_rows = [target_fn(e) for e in chunk]
             twidth = bucket_width(max(len(r) for r in target_rows),
                                   8, 128, 8)
-            arrays["labels"] = pad_labels(target_rows, twidth)
+            labels = pad_labels(target_rows, twidth)
+            # fill rows (duplicated last entry) are masked out of the CE
+            # entirely: the token-mean then equals the reference's SHORT
+            # final batch — fill rows contribute no loss and no gradient
+            labels[n_valid:] = -100
+            arrays["labels"] = labels
         if label_fn is not None:
-            arrays["class_labels"] = np.asarray(
+            class_labels = np.asarray(
                 [label_fn(e) for e in chunk], np.int32)
+            class_labels[n_valid:] = -100  # same rule for the head CE
+            arrays["class_labels"] = class_labels
         valid = np.zeros((batch_size,), bool)
         valid[:n_valid] = True
         batches.append(Batch(arrays, chunk, valid))

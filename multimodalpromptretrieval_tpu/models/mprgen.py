@@ -346,12 +346,22 @@ def head_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
     return dense(pooled, params["head"]["w"], params["head"]["b"])
 
 
+def _class_ce(logits, class_labels):
+    """Row-mean CE with -100 ignore: padded fill rows (data/batching.py
+    marks them with label -100) drop out of both the sum and the divisor,
+    so the loss equals the reference's short final batch exactly."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = class_labels >= 0
+    safe = jnp.where(valid, class_labels, 0)
+    ll = jnp.take_along_axis(logp, safe[:, None], 1)[:, 0]
+    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def head_loss(params, cfg, images, input_ids, text_mask, class_labels,
               rng=None, tokens=None):
     logits = head_logits(params, cfg, images, input_ids, text_mask, rng,
                          tokens)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
+    return _class_ce(logits, class_labels)
 
 
 def head_predict(params, cfg, images, input_ids, text_mask, tokens=None):
@@ -400,8 +410,7 @@ def ban_loss(params, cfg, images, input_ids, text_mask, class_labels,
              rng=None, tokens=None):
     logits = ban_logits(params, cfg, images, input_ids, text_mask, rng,
                         tokens)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, class_labels[:, None], 1))
+    return _class_ce(logits, class_labels)
 
 
 def ban_predict(params, cfg, images, input_ids, text_mask, tokens=None):

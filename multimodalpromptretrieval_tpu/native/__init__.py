@@ -162,9 +162,16 @@ class NativeViterbi:
         return self._handle is not None
 
     def encode(self, normalized: str) -> List[int]:
-        cnt = self._lib.mpr_spm_encode(self._handle, normalized.encode(),
-                                       self._out, 4096)
-        return list(self._out[:cnt])
+        data = normalized.encode()
+        # every piece covers >= 1 byte, so len(data)+1 ids always fit —
+        # a fixed 4096 cap would silently truncate long chunks and break
+        # bit-identity with the pure-Python Viterbi
+        if len(data) < 4096:
+            out = self._out
+        else:
+            out = (ctypes.c_int32 * (len(data) + 1))()
+        cnt = self._lib.mpr_spm_encode(self._handle, data, out, len(out))
+        return list(out[:cnt])
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:

@@ -168,10 +168,12 @@ def _flash_attention(
     if bias is not None:
         bB, bH = bias.shape[0], bias.shape[1]
         bias_f = _pad_to(_pad_to(bias.reshape(bB * bH, Lq, Lk), 1, block_q), 2, block_k)
-        if bB == 1 and B > 1:
-            idx = lambda bh, iq, ik: (bh % H, iq, ik)  # noqa: E731
-        else:
-            idx = lambda bh, iq, ik: (bh, iq, ik)  # noqa: E731
+        # map the (B*H,) grid row onto the (bB*bH,) flattened bias with
+        # modulo on BOTH broadcast dims — handles (B,H), (1,H), (B,1) and
+        # (1,1) biases; the old two-case map indexed out of range for
+        # (B,1) and (1,1) with B>1
+        idx = lambda bh, iq, ik: (  # noqa: E731
+            ((bh // H) % bB) * bH + (bh % H) % bH, iq, ik)
         in_specs.append(pl.BlockSpec((1, block_q, block_k), idx,
                                      memory_space=pl.ANY if interpret else pltpu.VMEM))
         args.append(bias_f)

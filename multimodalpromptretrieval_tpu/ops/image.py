@@ -34,12 +34,15 @@ def clip_preprocess(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     """
     n, h, w, _ = images.shape
     x = images.astype(jnp.float32) / 255.0
+    # torchvision truncates the long side (int(), not round —
+    # _compute_resized_output_size); a 1-px difference would shift the
+    # center crop and change the CLIP embedding vs the reference cache
     if h <= w:
         nh = size
-        nw = max(size, int(round(size * w / h)))
+        nw = max(size, int(size * w / h))
     else:
         nw = size
-        nh = max(size, int(round(size * h / w)))
+        nh = max(size, int(size * h / w))
     x = jax.image.resize(x, (n, nh, nw, 3), method="bicubic", antialias=True)
     top = (nh - size) // 2
     left = (nw - size) // 2

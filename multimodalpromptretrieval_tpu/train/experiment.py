@@ -234,6 +234,9 @@ class Experiment:
         self.retrieval_index: Optional[RetrievalIndex] = None
         self.retrieval_dataset: Optional[VQADataset] = None
         self._hints: Dict[str, Dict[str, str]] = {}
+        self._embed_fn = None  # cached jitted CLIP query embedder
+        # (id(dataset), id(params)) -> (n_entries, embeddings)
+        self._qemb_cache: Dict[tuple, tuple] = {}
         if cfg.get("retrieval"):
             self._setup_retrieval(train_mode)
 
@@ -344,6 +347,10 @@ class Experiment:
     # -- retrieval -------------------------------------------------------------
 
     def _clip_embed_fn(self):
+        # one jitted closure per Experiment — a fresh @jax.jit per call
+        # would retrace/recompile on every use
+        if self._embed_fn is not None:
+            return self._embed_fn
         cfg = self.model_cfg.clip
         from multimodalpromptretrieval_tpu.models.clip import (
             truncate_text_ids,
@@ -362,6 +369,7 @@ class Experiment:
             return embed(self.params["clip"], jnp.asarray(images),
                          jnp.asarray(ids))
 
+        self._embed_fn = run
         return run
 
     def _setup_retrieval(self, train_mode: bool) -> None:
@@ -370,6 +378,10 @@ class Experiment:
             rds = load_dataset(cfg["datafolder"], cfg["retrieval_dataset"],
                                "train")
         else:
+            # reference-exact (main.py:107-110): without a separate
+            # retrieval_dataset, retrieval_subset mutates THE SHARED
+            # dataset_train object — the training split shrinks too.
+            # Deliberate quirk parity, not an accident.
             rds = self.dataset_train
         if "retrieval_subset" in cfg:
             split = rds.get_stratified_split(
@@ -387,8 +399,28 @@ class Experiment:
                                            size=self.image_size))
         embed = self._clip_embed_fn()
         cache_dir = self.cfg.get("retrieval_cache_dir", "cache")
-        cache_path = os.path.join(
-            cache_dir, type(rds).__name__, "index.npz")
+        if self.cfg.get("retrieval_cache_compat"):
+            # the reference keys its cache by class name ONLY
+            # (dataset/VQAFeatureDataset.py:122-124, quirk #4) — stale
+            # across subsets/encoders/seeds; opt-in for byte-compat runs
+            key = type(rds).__name__
+        else:
+            # content key: corpus identity + everything the embeddings
+            # depend on (CLIP init seed / checkpoint / overrides), so a
+            # changed subset or encoder can never serve a stale index
+            src = json.dumps({
+                "class": type(rds).__name__,
+                "qids": [str(e["question_id"]) for e in rds.entries],
+                "images": [e["image_name"] for e in rds.entries],
+                "seed": self.cfg.get("seed", 88),
+                "vision_encoder": self.cfg.get("vision_encoder"),
+                "vision_checkpoint": self.cfg.get("vision_checkpoint"),
+                "clip_overrides": self.cfg.get("clip_overrides"),
+                "image_size": self.image_size,
+            }, sort_keys=True)
+            key = (f"{type(rds).__name__}-"
+                   f"{zlib.crc32(src.encode()):08x}")
+        cache_path = os.path.join(cache_dir, key, "index.npz")
         self.retrieval_index = RetrievalIndex.build(
             embed,
             rds.entries,
@@ -409,7 +441,15 @@ class Experiment:
                 self.retrieval_index.extend(RetrievalIndex.load(extra))
 
     def _query_embeddings(self, dataset: VQADataset) -> np.ndarray:
-        """CLIP image⊕text embeddings for every entry of a split, batched."""
+        """CLIP image⊕text embeddings for every entry of a split, batched.
+
+        Memoized per (dataset, params) object pair: ``test()`` needs the
+        same embeddings ``precompute_hints`` just computed — without the
+        cache that is a duplicate full CLIP pass over the split."""
+        key = (id(dataset), id(self.params))
+        hit = self._qemb_cache.get(key)
+        if hit is not None and hit[0] == len(dataset.entries):
+            return hit[1]
         embed = self._clip_embed_fn()
         out = []
         entries = dataset.entries
@@ -423,7 +463,9 @@ class Experiment:
                 [e["question"] for e in chunk_p])
             e_ = np.asarray(embed(imgs, ids))
             out.append(e_[: len(chunk)])
-        return np.concatenate(out, axis=0)
+        result = np.concatenate(out, axis=0)
+        self._qemb_cache[key] = (len(entries), result)
+        return result
 
     def precompute_hints(self, dataset: VQADataset, split_name: str) -> None:
         """Retrieval prompt strings per entry (CLIP + corpus are frozen, so
@@ -559,13 +601,18 @@ class Experiment:
     def make_split_batches(self, dataset: VQADataset, split_name: str,
                            shuffle: bool = False,
                            prefix_table: Optional[Dict[str, np.ndarray]]
-                           = None, prefix_rows: bool = False) -> List[Batch]:
+                           = None, prefix_rows: bool = False,
+                           epoch: int = 0) -> List[Batch]:
         needs_labels = not self.model_cfg.use_prediction_head
         # zlib.crc32, not hash(): Python string hashing is salted per
         # process (PYTHONHASHSEED), which would make batch order — and the
-        # trained weights — differ between runs of the same config
+        # trained weights — differ between runs of the same config.
+        # ``epoch`` folds in so each epoch draws a FRESH permutation (the
+        # reference DataLoader(shuffle=True) reshuffles per epoch) while
+        # staying process-stable.
         seed = zlib.crc32(
-            f"{split_name}:{int(self.cfg.get('seed', 88))}".encode())
+            f"{split_name}:{int(self.cfg.get('seed', 88))}:{epoch}"
+            .encode())
         rng = np.random.default_rng(seed) if shuffle else None
         needs_image = (self.model_cfg.use_image_info
                        or self.model_cfg.use_ban)
@@ -705,6 +752,11 @@ class Experiment:
         step = self.train_step()
         val_batches = self.make_split_batches(self.dataset_validate,
                                               "validate")
+        # reference-exact (main.py:161): best_valid resets to inf even on
+        # --resume, so the first resumed epoch always re-saves the
+        # checkpoint (possibly over a better one). Deliberate quirk
+        # parity; resume_meta["valid_loss"] is persisted if a caller
+        # wants the stricter behavior.
         best_valid = float("inf")
         best_epoch = 0
         streak = 0
@@ -718,7 +770,7 @@ class Experiment:
             self.log(f"Starting epoch {epoch} ...")
             self.log(f"The learning rate is now {scheduler.lr}")
             batches = self.make_split_batches(self.dataset_train, "train",
-                                              shuffle=True)
+                                              shuffle=True, epoch=epoch)
             t0 = time.time()
             # quirk #5: the reference greedy-generates on EVERY training
             # batch and uses the result only for pred-head train accuracy
@@ -838,6 +890,16 @@ class Experiment:
             batches = self.make_split_batches(self.dataset_test, "test")
         do_retrieval_diag = (self.retrieval_index is not None
                              and not mcfg.use_prediction_head)
+        if do_retrieval_diag:
+            # ONE top-k over the whole split (queries are already
+            # precomputed); answers and types are host gathers from the
+            # same index rows — the previous per-batch code re-ran the
+            # full distance scan twice per batch
+            _, tidx = self.retrieval_index.topk(jnp.asarray(test_q),
+                                                k=self.k)
+            tidx = np.asarray(tidx)
+            r_answers = self.retrieval_index.answers
+            r_qtypes = self.retrieval_index.question_info["question_type"]
         # one batch in flight: dispatch i+1 before materializing i (the
         # host-side decode/metrics work overlaps device compute)
         pending = [step(self.params, self.device_batch(b)) for b in
@@ -847,14 +909,6 @@ class Experiment:
                 pending.append(step(self.params,
                                     self.device_batch(batches[i + 1])))
             preds = np.asarray(pending.pop(0))
-            if do_retrieval_diag:
-                rows = np.stack([test_q[qpos[e["question_id"]]]
-                                 for e in b.entries])
-                r_ans = self.retrieval_index.retrieve(
-                    jnp.asarray(rows), return_ans=True, k=self.k)
-                r_types = self.retrieval_index.retrieve(
-                    jnp.asarray(rows), return_info=["question_type"],
-                    k=self.k)
             for j, entry in enumerate(b.entries):
                 if not b.valid[j]:
                     continue
@@ -866,8 +920,10 @@ class Experiment:
                 closest = self.dataset_test.get_closest_label(answer.lower())
                 metrics.add_generative(answer, entry, closest)
                 if do_retrieval_diag:
+                    row = tidx[qpos[entry["question_id"]]]
                     metrics.add_retrieval_diagnostics(
-                        answer, entry, r_ans[j], r_types[j])
+                        answer, entry, [r_answers[x] for x in row],
+                        [r_qtypes[x] for x in row])
         self.log(metrics.report())
         metrics.write_artifacts(self.log_root, self.model_prefix)
         return metrics

@@ -71,7 +71,11 @@ def visualize_attn_weights(exp, entry: dict, *,
     weights = maps[attn_type]  # (L, B, H, Lq, Lk)
     n_layers, _, n_heads = weights.shape[:3]
     n_image_tokens = exp.model_cfg.num_image_tokens
-    grid = int((n_image_tokens - 1) ** 0.5)
+    # ViT prefix = [CLS, grid²] (slice the CLS off); the RN path has no
+    # CLS — its prefix is the bare grid² layer4 features
+    has_cls = exp.model_cfg.resnet is None
+    patch0 = 1 if has_cls else 0
+    grid = int(round((n_image_tokens - patch0) ** 0.5))
 
     img_path = os.path.join(entry["dataroot"], "imgs", entry["image_name"])
     original = Image.open(img_path).resize((224, 224))
@@ -85,9 +89,11 @@ def visualize_attn_weights(exp, entry: dict, *,
             if attn_type == "encoder_attentions":
                 # attention FROM the patch tokens (rows 1..grid²+1), averaged
                 # over all key positions — reference's aggregate mode
-                alphas = weights[i, 0, j, 1:n_image_tokens].mean(axis=-1)
+                alphas = weights[i, 0, j,
+                                 patch0:n_image_tokens].mean(axis=-1)
             else:  # cross_attentions: decoder queries ATTEND TO patch keys
-                alphas = weights[i, 0, j, :, 1:n_image_tokens].mean(axis=0)
+                alphas = weights[i, 0, j, :,
+                                 patch0:n_image_tokens].mean(axis=0)
             rng_ = alphas.max() - alphas.min()
             alphas = (alphas - alphas.min()) / (rng_ if rng_ > 0 else 1.0)
 

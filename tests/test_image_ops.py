@@ -24,10 +24,11 @@ from multimodalpromptretrieval_tpu.ops.image import (
 def _pil_reference(arr: np.ndarray, size: int) -> np.ndarray:
     im = Image.fromarray(arr)
     w, h = im.size
+    # torchvision truncates the long side: int(), not round
     if h <= w:
-        nh, nw = size, max(size, round(size * w / h))
+        nh, nw = size, max(size, int(size * w / h))
     else:
-        nw, nh = size, max(size, round(size * h / w))
+        nw, nh = size, max(size, int(size * h / w))
     im = im.resize((nw, nh), Image.BICUBIC)
     left = (nw - size) // 2
     top = (nh - size) // 2
@@ -37,7 +38,8 @@ def _pil_reference(arr: np.ndarray, size: int) -> np.ndarray:
     return np.transpose(x, (2, 0, 1))
 
 
-@pytest.mark.parametrize("shape", [(64, 64), (96, 64), (64, 96)])
+@pytest.mark.parametrize("shape", [(64, 64), (96, 64), (64, 96),
+                                   (70, 96)])  # 48*96/70=65.83: int != round
 def test_preprocess_close_to_pil(shape):
     rng = np.random.default_rng(0)
     size = 48
