@@ -116,3 +116,35 @@ def test_extend_rejects_mismatched_info_keys():
     other.question_info.pop("question_type", None)
     with pytest.raises(ValueError, match="question_info keys"):
         idx.extend(other)
+
+
+def test_retrieval_cache_not_stale_across_subsets(tmp_path):
+    """The disk cache is keyed by corpus content (not just class name, the
+    reference's quirk #4): changing retrieval_subset must rebuild the
+    index instead of serving the previous run's full corpus."""
+    import os
+
+    from multimodalpromptretrieval_tpu.data.synthetic import (
+        generate_synthetic_slake,
+        synthetic_config,
+    )
+    from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+    root = str(tmp_path)
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=16,
+                             n_validate=8, n_test=8, image_size=32, seed=0)
+
+    def build(extra):
+        cfg = synthetic_config(root, batch_size=8, epochs=1, image_size=32,
+                               retrieval=True, k=2)
+        cfg["clip_overrides"]["image_resolution"] = 32
+        cfg["clip_overrides"]["patch_size"] = 16
+        cfg["retrieval_cache_dir"] = os.path.join(root, "cache")
+        cfg.update(extra)
+        return Experiment(cfg, train_mode=True, quiet=True,
+                          log_root=os.path.join(root, "logs"),
+                          model_root=os.path.join(root, "models"))
+
+    n_full = len(build({}).retrieval_index)
+    n_sub = len(build({"retrieval_subset": 0.5}).retrieval_index)
+    assert n_sub < n_full  # a stale class-name-keyed cache would be ==
