@@ -85,3 +85,30 @@ def test_encoder_attention_figures(exp, tmp_path):
                                figures_root=figroot)
     cfg = exp.model_cfg
     assert n == cfg.t5.num_layers * cfg.t5.num_heads
+
+
+def test_rn_path_figures(tmp_path):
+    """The RN prefix has no CLS and a stride-32 grid; the viz must use the
+    no-CLS layout (grid = sqrt(P), no token sliced off) and still write
+    every (layer, head) figure."""
+    root = str(tmp_path)
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=8,
+                             n_validate=8, n_test=8, image_size=32, seed=0)
+    cfg = synthetic_config(root, batch_size=8, epochs=1, image_size=32)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg["vision_encoder"] = "RN50"
+    cfg["resnet_overrides"] = {"layers": [1, 1, 1, 1], "width": 16,
+                               "embed_dim": 32, "heads": 2}
+    exp = Experiment(cfg, train_mode=False, quiet=True,
+                     log_root=os.path.join(root, "logs"),
+                     model_root=os.path.join(root, "models"))
+    assert exp.model_cfg.resnet is not None
+    entry = exp.dataset_test.entries[0]
+    figroot = str(tmp_path / "figs")
+    n = visualize_attn_weights(exp, entry, figures_root=figroot)
+    tcfg = exp.model_cfg.t5
+    assert n == tcfg.num_decoder_layers * tcfg.num_heads
+    qid = str(entry["question_id"])
+    assert os.path.exists(os.path.join(figroot, qid, "head0",
+                                       "attention0.pdf"))
