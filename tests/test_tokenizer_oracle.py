@@ -208,3 +208,32 @@ def test_clip_native_fastpath_matches_python_on_oracle_vocab():
                   range(rng.randint(1, 60))) for _ in range(300)]
     for q in qs:
         assert tok.encode(q) == tok._encode_py(q), q
+
+
+def test_truncation_matches_hf_fast_tokenizer():
+    """encode(max_length=N) == transformers PreTrainedTokenizerFast with
+    truncation=True over the same Unigram model: HF removes CONTENT tokens
+    and appends EOS after, so truncated sequences still end with EOS."""
+    transformers = pytest.importorskip("transformers")
+    from tokenizers.processors import TemplateProcessing
+
+    tok = T5SentencePieceTokenizer.from_corpus(CORPUS)
+    rust = _oracle(tok.vocab)
+    rust.post_processor = TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", tok.eos_id)])
+    hf = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=rust, eos_token="</s>", pad_token="<pad>",
+        unk_token="<unk>")
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "what color is the liver in this picture and how many organs",
+        "does the picture contain lungs or chest or liver",
+    ]
+    for text in texts:
+        for n in (3, 4, 5, 8, 100):
+            ours = tok.encode(text, max_length=n)
+            theirs = hf(normalize(text), truncation=True,
+                        max_length=n)["input_ids"]
+            assert ours == theirs, (text, n, ours, theirs)
+            if len(tok.encode(text)) > n:
+                assert ours[-1] == tok.eos_id  # EOS survives truncation
