@@ -302,7 +302,8 @@ def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True):
                              model_root=os.path.join(sub, "models"))
         trainer.train()
         exp = _bench_experiment(args, data_dir, tiny=tiny)
-    server = MPRServer(exp, load_checkpoint=True)
+    server = MPRServer(exp, load_checkpoint=True,
+                       pipeline_depth=args.pipeline_depth)
     import numpy as np
 
     entries = exp.dataset_test.entries
@@ -334,7 +335,8 @@ def run_e2e(args, data_dir: str):
     from multimodalpromptretrieval_tpu.serve import MPRServer
 
     exp = _bench_experiment(args, data_dir, tiny=args.preset == "tiny")
-    server = MPRServer(exp, load_checkpoint=False)
+    server = MPRServer(exp, load_checkpoint=False,
+                       pipeline_depth=args.pipeline_depth)
     entries = exp.dataset_test.entries
     images = np.stack([exp.images[e["image_name"]] for e in entries])
     questions = [e["question"] for e in entries]
@@ -427,6 +429,8 @@ def main():
     p.add_argument("--e2e-windows", type=int, default=3,
                    help="steady-state windows; best + median reported")
     p.add_argument("--e2e-images", type=int, default=512)
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="serve chunks allowed in flight (MPRServer)")
     p.add_argument("--train-batch", type=int, default=128)
     p.add_argument("--train-iters", type=int, default=30)
     p.add_argument("--train-epochs", type=int, default=8,

@@ -53,7 +53,8 @@ class AnswerHandle:
 
 class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
-                 max_new_tokens: int = 20, prompt_fastpath: bool = True):
+                 max_new_tokens: int = 20, prompt_fastpath: bool = True,
+                 pipeline_depth: int = 1):
         import os
 
         from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
@@ -61,6 +62,11 @@ class MPRServer:
         self.exp = experiment
         self.max_new_tokens = max_new_tokens
         self.prompt_fastpath = prompt_fastpath
+        # chunks allowed in flight before the pipeline starts consuming:
+        # 1 = the classic software pipeline (host work for chunk i±1
+        # overlaps chunk i's device run); deeper queues can hide more of
+        # the fixed per-fetch tunnel round-trip at the cost of latency
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: List[tuple] = []  # (handle, pending_preds, k, classify)
         if load_checkpoint and os.path.exists(experiment.model_path):
             experiment.params, _, _ = ckpt.load_checkpoint(
@@ -366,7 +372,7 @@ class MPRServer:
         handle = AnswerHandle(self, len(starts))
         for i, s in enumerate(starts):
             self._queue.append((handle, *dispatch_fn(i, s), classify))
-            while len(self._queue) > 1:
+            while len(self._queue) > self.pipeline_depth:
                 self._consume_one()
         return handle
 

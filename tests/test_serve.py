@@ -129,3 +129,20 @@ def test_empty_request_returns_empty(trained):
     assert server.answer(np.zeros((0, 3, 32, 32), np.float32), [], []) == []
     h = server.submit(np.zeros((0, 3, 32, 32), np.float32), [], [])
     assert h.done() and h.result() == []
+
+
+def test_pipeline_depth_two_matches_serial(trained):
+    """A deeper in-flight queue must not change answers or ordering."""
+    entries = (trained.dataset_test.entries * 3)[:13]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    base = MPRServer(trained).answer(images, questions, tasks,
+                                     image_ids=ids)
+    deep = MPRServer(trained, pipeline_depth=2)
+    assert deep.answer(images, questions, tasks, image_ids=ids) == base
+    h1 = deep.submit(images, questions, tasks, image_ids=ids)
+    h2 = deep.submit(images, questions[:5], tasks[:5], image_ids=ids[:5])
+    assert h1.result() == base and h2.result() == base[:5]
+    assert deep._queue == []
