@@ -349,3 +349,37 @@ def test_fused_step_rebuilt_when_k_changes(trained):
         assert changed == fresh
     finally:
         trained.k = old_k
+
+
+def test_continuation_exactness_fuzz():
+    """Fuzz the exactness contract the fused serve path rests on: for ANY
+    (prompt, hint) pair whose junction boundary_safe accepts,
+    encode(prompt + hint) MUST equal the spliced
+    encode(prompt) + encode_continuation(hint) + [eos]. Random strings
+    over a mixed alphabet (letters, digits, punctuation, spaces) drive
+    both the accept and reject branches; the accept branch is verified
+    exactly, and at least a handful of each must occur."""
+    import random
+
+    rng = random.Random(7)
+    corpus = ["is this a lung?", "what organ is shown?", "x-ray or ct?",
+              "i believe the answer is certainly lung",
+              "the most frequent answer is 2 kidneys!"]
+    vocab = spm.UnigramVocab.build_toy(corpus)
+    tok = spm.T5SentencePieceTokenizer(vocab)
+    alphabet = "abcdefghij 0123456789?!.,:-'()/"
+    n_safe = n_unsafe = 0
+    for _ in range(400):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        # the production gate: serve checks concat_safe(prompt,
+        # hint's RAW first char) — hints.py first_char (serve.py submit)
+        if tok.concat_safe(a, b[0]):
+            n_safe += 1
+            whole = tok.encode(a + b)
+            split = (tok.encode(a, add_eos=False)
+                     + tok.encode_continuation(b) + [tok.eos_id])
+            assert whole == split, (a, b)
+        else:
+            n_unsafe += 1
+    assert n_safe >= 20 and n_unsafe >= 20, (n_safe, n_unsafe)
