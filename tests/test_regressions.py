@@ -211,3 +211,38 @@ def test_dropout_key_fallback_without_rbg(monkeypatch):
     import numpy as np
     np.testing.assert_array_equal(np.asarray(fallback),
                                   np.asarray(jax.random.PRNGKey(0)))
+
+
+_DIAG_SCRIPT = """
+import json
+from multimodalpromptretrieval_tpu.train.metrics import TestMetrics
+m = TestMetrics(retrieval_k=2)
+for i in range(50):
+    ra = ["ans%da" % i, "ans%db" % i]  # 1-1 tie per example
+    m.add_retrieval_diagnostics(
+        "x", {"answer": "ans%db" % i, "question_type": "qt"}, ra,
+        ["qt", "qt"])
+print(json.dumps([m.full_retrieval_reliance_gt,
+                  m.full_retrieval_reliance_pred]))
+"""
+
+
+def test_retrieval_diagnostics_stable_across_processes(tmp_path):
+    """The 'most common retrieved answer' diagnostics must not depend on
+    PYTHONHASHSEED: ties break by first retrieval rank, so the rank-0
+    answer wins every 1-1 tie in every process (max(set(...)) was the
+    salted pre-fix behavior — observed 29.2/33.3/37.5/41.7% across
+    identical CLI runs)."""
+    outs = []
+    for salt in ("1", "31337", "7"):
+        env = dict(os.environ, PYTHONHASHSEED=salt, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run([sys.executable, "-c", _DIAG_SCRIPT],
+                           capture_output=True, text=True, env=env,
+                           timeout=300, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(json.loads(r.stdout.strip()))
+    assert outs[0] == outs[1] == outs[2]
+    # the gt is the rank-1 answer of each tie: rank-first tie-breaking
+    # means it NEVER equals the winner
+    assert outs[0] == [0, 0]
