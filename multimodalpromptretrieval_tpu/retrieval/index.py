@@ -18,8 +18,10 @@ Reference behavior (dataset/VQAFeatureDataset.py:118-246) reproduced:
 
 Cache layout: ``{cache_dir}/{key}/index.npz`` holding the embedding matrix,
 answers and question info. The reference keys only by dataset class name
-(quirk #4, stale across splits/encoders); ``cache_key`` derives a proper key
-but ``compat_class_name`` reproduces the reference scheme when asked.
+(quirk #4, stale across splits/encoders); the caller derives the key —
+``Experiment._setup_retrieval`` uses a content hash (corpus entries + CLIP
+config), with config ``retrieval_cache_compat`` restoring the reference's
+class-name scheme.
 """
 
 from __future__ import annotations
