@@ -251,6 +251,12 @@ def image_prefix_from_tokens(params: Params, cfg: MPRGenConfig,
     the trunk ONCE per unique image for both the retrieval embedding
     (token 0 == ``encode_image``) and the T5 prefix (serve.MPRServer)."""
     tokens = jax.lax.stop_gradient(tokens)  # frozen tower (see above)
+    # Order vs reference: T5VisionModel.py:133-137 projects to d_model
+    # FIRST, then applies the 512->512 mapping MLP — which shape-errors
+    # whenever both are active (mapping can't consume 1024-d features), so
+    # that combination is inoperable in the reference. We run the mapping
+    # in CLIP's 512-d space and project after, which is identical when only
+    # one of the two is active and actually functional when both are.
     if cfg.use_mapping and "mapping" in params:
         tokens = mapping_apply(params["mapping"], tokens)
     if cfg.needs_projection:
