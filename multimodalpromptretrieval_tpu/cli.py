@@ -32,12 +32,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform",
                    help="force a JAX platform (e.g. cpu); needed because the"
                    " session may pre-pin a TPU platform before argv parsing")
+    # multi-host: run the same command on every host with its process id
+    # (parallel/multihost.py). Omitted values fall back to JAX's env /
+    # cluster auto-detection (JAX_COORDINATOR_ADDRESS, ...).
+    p.add_argument("--coordinator",
+                   help="host:port of process 0; enables multi-host mode")
+    p.add_argument("--num_processes", type=int,
+                   help="number of processes in the multi-host job")
+    p.add_argument("--process_id", type=int,
+                   help="this process's rank in the multi-host job")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.platform:
+    if (args.coordinator or args.num_processes is not None
+            or args.process_id is not None):
+        from multimodalpromptretrieval_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id, platform=args.platform)
+    elif args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)

@@ -17,6 +17,7 @@ a ``valid`` mask so every step sees identical shapes.
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache as _lru_cache
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -41,6 +42,23 @@ def pad_ids(rows: Sequence[Sequence[int]], width: int, pad_id: int = 0):
     return ids, mask
 
 
+@_lru_cache(maxsize=None)
+def _head_jit(n: int):
+    """Cached jitted leading-row slice (multi-host staging: eager slices
+    can't address cross-process shards)."""
+    import jax
+
+    return jax.jit(lambda a: jax.lax.slice_in_dim(a, 0, n))
+
+
+@_lru_cache(maxsize=None)
+def _concat_jit():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda xs: jnp.concatenate(xs))
+
+
 def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
                          batch_size: int, n_out: int = 1,
                          first_chunk_guard=None):
@@ -61,7 +79,28 @@ def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
     """
     if not items:
         return None
+    import jax
     import jax.numpy as jnp
+
+    def global_arr(r):
+        # on a multi-host mesh the step outputs are GLOBAL arrays: eager
+        # slicing/concat only addresses local shards, so route those
+        # through jit (a global SPMD program every process executes)
+        return isinstance(r, jax.Array) and not r.is_fully_addressable
+
+    def head(r, n):
+        if n == np.shape(r)[0]:
+            return r
+        if global_arr(r):
+            return _head_jit(n)(r)
+        return r[:n]
+
+    def concat(parts):
+        if len(parts) == 1:
+            return parts[0]
+        if any(global_arr(p) for p in parts):
+            return _concat_jit()(tuple(parts))
+        return jnp.concatenate(parts)
 
     outs: List[list] = [[] for _ in range(n_out)]
     for s in range(0, len(items), batch_size):
@@ -71,11 +110,11 @@ def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
         if n_out == 1:
             res = (res,)
         for o, r in zip(outs, res):
-            o.append(r[:len(chunk)])
+            o.append(head(r, len(chunk)))
         if s == 0 and first_chunk_guard is not None \
                 and first_chunk_guard(outs[0][0]):
             return None
-    return tuple(jnp.concatenate(p) if len(p) > 1 else p[0] for p in outs)
+    return tuple(concat(p) for p in outs)
 
 
 def pad_labels(rows: Sequence[Sequence[int]], width: int):

@@ -19,3 +19,4 @@ from multimodalpromptretrieval_tpu.parallel.mesh import (  # noqa: F401
 from multimodalpromptretrieval_tpu.parallel.retrieval import (  # noqa: F401
     sharded_l2_topk,
 )
+from multimodalpromptretrieval_tpu.parallel import multihost  # noqa: F401

@@ -83,12 +83,24 @@ def param_shardings(params, mesh: Mesh):
 
 def shard_params(params, mesh: Mesh):
     """Place a params / opt-state pytree on the mesh: DP-replicated, with
-    T5 kernels TP-sharded over "model" when the axis is wider than 1."""
+    T5 kernels TP-sharded over "model" when the axis is wider than 1.
+    On a mesh spanning processes (parallel/multihost.py) the pytree is
+    placed as global arrays — each process materializes its shards from
+    the identical host copy every process holds."""
+    from multimodalpromptretrieval_tpu.parallel import multihost
+
+    if multihost.spans_processes(mesh):
+        return multihost.place_like(params, param_shardings(params, mesh))
     return jax.device_put(params, param_shardings(params, mesh))
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Shard every batch array over the "data" axis of the mesh."""
+    """Shard every batch array over the "data" axis of the mesh (global
+    placement when the mesh spans processes)."""
+    from multimodalpromptretrieval_tpu.parallel import multihost
+
+    if multihost.spans_processes(mesh):
+        return multihost.global_batch(batch, mesh)
     s = batch_sharding(mesh)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 

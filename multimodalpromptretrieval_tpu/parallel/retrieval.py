@@ -17,7 +17,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalpromptretrieval_tpu.ops.topk import _l2_topk_xla
 
-_BIG = jnp.float32(3.4e38)
+# plain float (weakly-typed; promotes to the fp32 operand dtype) — a
+# module-level jnp constant would initialize the XLA backend at import
+# time, which breaks jax.distributed.initialize (multihost.py)
+_BIG = 3.4e38
 
 
 def pad_index_for_mesh(index, mesh: Mesh):

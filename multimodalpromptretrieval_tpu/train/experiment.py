@@ -51,6 +51,7 @@ from multimodalpromptretrieval_tpu.models.clip import (
 )
 from multimodalpromptretrieval_tpu.models.t5 import T5Config
 from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+from multimodalpromptretrieval_tpu.parallel import multihost
 from multimodalpromptretrieval_tpu.retrieval.index import RetrievalIndex
 from multimodalpromptretrieval_tpu.text import (
     CLIPBPETokenizer,
@@ -101,6 +102,10 @@ class Experiment:
                 n -= 1
             mesh = pmesh.get_mesh(n_data=n)
         self.mesh = mesh
+        # Multi-host runs (parallel/multihost.py): every process executes
+        # the same train loop over the same host data; only process 0
+        # writes checkpoints / logs. True in single-process runs.
+        self.primary = multihost.is_primary()
         self.rng = jax.random.PRNGKey(cfg.get("seed", 88))
         # separate hardware-RNG stream for per-step dropout (train/rng.py);
         # init keeps the threefry stream above so initial params are
@@ -244,6 +249,7 @@ class Experiment:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        self._gather_step = None
         self._token_cache: Dict[str, Dict[tuple, List[int]]] = {}
         # frozen-trunk vision-token cache: (device table (U, P, C),
         # image_name -> row). Built by build_vision_token_cache.
@@ -668,10 +674,30 @@ class Experiment:
             # device-side gather from the replicated table, placed onto the
             # data axis explicitly (jit with in_shardings rejects mismatched
             # committed args rather than resharding them)
-            out[name] = jax.device_put(
-                jnp.take(table[0], jnp.asarray(rows), axis=0),
-                pmesh.batch_sharding(self.mesh))
+            if multihost.spans_processes(self.mesh):
+                # cross-process mesh: the gather must be a global SPMD
+                # program (eager take + device_put only address local
+                # shards); the table is replicated, rows identical per
+                # process, output lands sharded on "data"
+                out[name] = self._global_gather()(
+                    table[0], jnp.asarray(rows))
+            else:
+                out[name] = jax.device_put(
+                    jnp.take(table[0], jnp.asarray(rows), axis=0),
+                    pmesh.batch_sharding(self.mesh))
         return out
+
+    def _global_gather(self):
+        if self._gather_step is None:
+            self._gather_step = jax.jit(
+                lambda t, r: jnp.take(t, r, axis=0),
+                out_shardings=pmesh.batch_sharding(self.mesh))
+        return self._gather_step
+
+    def fetch(self, x) -> np.ndarray:
+        """Device->host fetch; on a multi-host mesh this all-gathers the
+        cross-process shards first (multihost.fetch)."""
+        return multihost.fetch(x, self.mesh)
 
     def device_batch_from(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
         return pmesh.shard_batch(arrays, self.mesh)
@@ -793,7 +819,7 @@ class Experiment:
                         batches[i + 1])
                 self.dropout_rng, key = jax.random.split(self.dropout_rng)
                 if track_train_acc:
-                    preds = np.asarray(self.predict_step()(self.params, db))
+                    preds = self.fetch(self.predict_step()(self.params, db))
                     if self.model_cfg.use_prediction_head:
                         labels = b.arrays["class_labels"]
                         correct_ans += int(
@@ -827,10 +853,11 @@ class Experiment:
                      f"Loss: {best_valid} at epoch {best_epoch}")
             if valid_loss < best_valid:
                 self.log(f"Saving model to {self.model_path} ...")
-                ckpt.save_checkpoint(
-                    self.model_path, self.params, self.opt_state,
-                    metadata={"epoch": epoch, "valid_loss": valid_loss,
-                              "lr": scheduler.lr, "config": cfg})
+                if self.primary:  # multi-host: one writer per shared FS
+                    ckpt.save_checkpoint(
+                        self.model_path, self.params, self.opt_state,
+                        metadata={"epoch": epoch, "valid_loss": valid_loss,
+                                  "lr": scheduler.lr, "config": cfg})
                 best_valid = valid_loss
                 best_epoch = epoch
                 streak = 0
@@ -844,16 +871,17 @@ class Experiment:
                          "Stopping training ...")
                 break
 
-        with open(os.path.join(train_info_path, "training_loss.txt"),
-                  "w") as f:
-            f.write("parameter_updates,loss\n")
-            for u, l in train_losses:
-                f.write(f"{u},{l}\n")
-        with open(os.path.join(train_info_path, "validation_loss.txt"),
-                  "w") as f:
-            f.write("parameter_updates,loss\n")
-            for u, l in valid_losses:
-                f.write(f"{u},{l}\n")
+        if self.primary:  # multi-host: one writer per shared FS
+            with open(os.path.join(train_info_path, "training_loss.txt"),
+                      "w") as f:
+                f.write("parameter_updates,loss\n")
+                for u, l in train_losses:
+                    f.write(f"{u},{l}\n")
+            with open(os.path.join(train_info_path, "validation_loss.txt"),
+                      "w") as f:
+                f.write("parameter_updates,loss\n")
+                for u, l in valid_losses:
+                    f.write(f"{u},{l}\n")
         return {"best_valid_loss": best_valid, "best_epoch": best_epoch,
                 "parameter_updates": parameter_updates}
 
@@ -908,7 +936,7 @@ class Experiment:
             if i + 1 < len(batches):
                 pending.append(step(self.params,
                                     self.device_batch(batches[i + 1])))
-            preds = np.asarray(pending.pop(0))
+            preds = self.fetch(pending.pop(0))
             for j, entry in enumerate(b.entries):
                 if not b.valid[j]:
                     continue
@@ -925,7 +953,8 @@ class Experiment:
                         answer, entry, [r_answers[x] for x in row],
                         [r_qtypes[x] for x in row])
         self.log(metrics.report())
-        metrics.write_artifacts(self.log_root, self.model_prefix)
+        if self.primary:  # multi-host: one writer per shared FS
+            metrics.write_artifacts(self.log_root, self.model_prefix)
         return metrics
 
 
