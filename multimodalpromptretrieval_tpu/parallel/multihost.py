@@ -83,6 +83,16 @@ def shutdown() -> None:
         pass
 
 
+def barrier(name: str = "mpr_barrier") -> None:
+    """Block until every process reaches this point. Use between a
+    primary-only artifact write (checkpoint) and its consumption by other
+    processes over the shared FS. No-op in single-process runs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def is_primary() -> bool:
     """True on the process that owns host artifacts (checkpoints, logs).
     Also true in ordinary single-process runs."""

@@ -91,18 +91,29 @@ def run_experiment_mode():
     from multimodalpromptretrieval_tpu.train.experiment import Experiment
 
     cfg = synthetic_config(args.root, batch_size=8, epochs=2,
-                           image_size=32)
+                           image_size=32, retrieval=True, k=2)
     cfg["clip_overrides"]["image_resolution"] = 32
     cfg["clip_overrides"]["patch_size"] = 16
-    exp = Experiment(cfg, train_mode=True, quiet=True,
-                     log_root=os.path.join(args.out, "logs"),
-                     model_root=os.path.join(args.out, "models"))
+    # the retrieval-index disk cache is shared between the processes of a
+    # multi-host job; skip it rather than racing on the write
+    cfg["cache_retrieval"] = False
+    paths = dict(log_root=os.path.join(args.out, "logs"),
+                 model_root=os.path.join(args.out, "models"))
+    exp = Experiment(cfg, train_mode=True, quiet=True, **paths)
     res = exp.train()
+    # only process 0 wrote the checkpoint; don't let others read it early
+    multihost.barrier("checkpoint-written")
+    # eval under the same cluster: every process computes the full metric
+    # table from all-gathered predictions; only process 0 writes artifacts
+    exp2 = Experiment(cfg, train_mode=False, quiet=True, **paths)
+    metrics = exp2.test()
     if multihost.is_primary():
         with open(os.path.join(args.out, "result.json"), "w") as f:
             json.dump({"best_valid_loss": res["best_valid_loss"],
                        "n_devices": jax.device_count(),
-                       "model_path": exp.model_path}, f)
+                       "model_path": exp.model_path,
+                       "overall": metrics.overall,
+                       "n_scored": sum(metrics.total.values())}, f)
 
 
 if args.mode == "step":

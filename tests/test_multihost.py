@@ -107,6 +107,9 @@ def test_two_process_experiment_matches_single_process(tmp_path):
     assert m["n_devices"] == 4 and s["n_devices"] == 4
     np.testing.assert_allclose(m["best_valid_loss"], s["best_valid_loss"],
                                rtol=0, atol=1e-6)
+    # eval ran under the cluster too: same split coverage, same accuracy
+    assert m["n_scored"] == s["n_scored"] == 24
+    np.testing.assert_allclose(m["overall"], s["overall"], atol=1e-9)
 
     def ckpt(d):
         files = os.listdir(os.path.join(d, "models"))
@@ -127,8 +130,10 @@ def test_two_process_experiment_matches_single_process(tmp_path):
             assert (a[k] == b[k]).all(), k
 
     def losses(d):
-        (prefix,) = os.listdir(os.path.join(d, "logs"))
-        with open(os.path.join(d, "logs", prefix,
+        logs = os.path.join(d, "logs")
+        (prefix,) = [f for f in os.listdir(logs)
+                     if os.path.isdir(os.path.join(logs, f))]
+        with open(os.path.join(logs, prefix,
                                "training_loss.txt")) as f:
             rows = f.read().strip().splitlines()[1:]
         return [tuple(float(v) for v in r.split(",")) for r in rows]
