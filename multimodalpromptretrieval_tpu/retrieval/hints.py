@@ -146,21 +146,28 @@ def splice_hints(q_ids: jnp.ndarray, q_len: jnp.ndarray,
     """Build the full prompt rows ``[question ‖ hint ‖ EOS ‖ pad]``.
 
     ``q_ids``: (B, W) question-prefix ids padded to the final static width
-    (no EOS); ``h_ids``: (B, H) gathered hint rows. Rows whose question
-    alone fills W are passed through (HF truncation drops the EOS,
-    text/spm.encode). Returns (ids, mask) int32, identical to host-side
-    ``encode(question + hint)`` + ``pad_ids`` under the boundary contract.
+    (no EOS); ``h_ids``: (B, H) gathered hint rows. Rows that overflow W
+    are truncated the way ``text/spm.encode(..., max_length=W)`` truncates
+    (HF semantics, verified vs transformers 4.57: content tokens are
+    dropped and the row still ENDS WITH EOS), so the result is identical
+    to host-side ``encode(question + hint, max_length=W)`` + ``pad_ids``
+    under the boundary contract — including prompts at the
+    max_source_length cap.
     """
     W = q_ids.shape[1]
     j = jnp.arange(W, dtype=jnp.int32)[None, :]
-    off = j - q_len[:, None].astype(jnp.int32)             # (B, W)
+    ql = q_len[:, None].astype(jnp.int32)
+    hl = h_len[:, None].astype(jnp.int32)
+    off = j - ql                                           # (B, W)
     H = h_ids.shape[1]
     hr = jnp.take_along_axis(
         h_ids, jnp.clip(off, 0, H - 1), axis=1)            # (B, W)
-    hl = h_len[:, None].astype(jnp.int32)
-    ids = jnp.where(off < 0, q_ids,
-                    jnp.where(off < hl, hr,
-                              jnp.where(off == hl, jnp.int32(eos_id),
-                                        jnp.int32(pad_id))))
-    mask = (off <= hl).astype(jnp.int32)
+    # EOS lands after the hint, or at W-1 when question+hint overflow the
+    # width (content truncation keeps the trailing EOS)
+    eos_pos = jnp.minimum(ql + hl, W - 1)                  # (B, 1)
+    content = jnp.where(off < 0, q_ids, hr)
+    ids = jnp.where(j < eos_pos, content,
+                    jnp.where(j == eos_pos, jnp.int32(eos_id),
+                              jnp.int32(pad_id)))
+    mask = (j <= eos_pos).astype(jnp.int32)
     return ids, mask

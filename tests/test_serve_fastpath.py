@@ -123,15 +123,20 @@ def test_splice_matches_host_concat():
 
     rng = np.random.default_rng(0)
     W, H, eos = 24, 6, 1
-    q_rows = [list(rng.integers(2, 50, size=n)) for n in (3, 10, 23, 24)]
-    h_rows = [list(rng.integers(2, 50, size=n)) for n in (4, 6, 1, 2)]
+    # overflow cases included: q_len 20+h6, 23+h1, 24 (q alone fills W) —
+    # HF truncation drops CONTENT tokens and keeps the trailing EOS
+    # (text/spm.encode, verified vs transformers 4.57)
+    q_rows = [list(rng.integers(2, 50, size=n)) for n in (3, 10, 20, 23, 24)]
+    h_rows = [list(rng.integers(2, 50, size=n)) for n in (4, 6, 6, 1, 2)]
     q_ids, _ = pad_ids(q_rows, W)
     h_ids, _ = pad_ids(h_rows, H)
     q_len = np.asarray([len(r) for r in q_rows], np.int32)
     h_len = np.asarray([len(r) for r in h_rows], np.int32)
     ids, mask = splice_hints(q_ids, q_len, h_ids, h_len, eos)
-    # host reference: concat + eos, truncated to W (HF truncation)
-    want_rows = [(q + h + [eos])[:W] for q, h in zip(q_rows, h_rows)]
+    # host reference: encode(question + hint, max_length=W) semantics
+    want_rows = [q + h + [eos] if len(q) + len(h) + 1 <= W
+                 else (q + h)[:W - 1] + [eos]
+                 for q, h in zip(q_rows, h_rows)]
     want_ids, want_mask = pad_ids(want_rows, W)
     np.testing.assert_array_equal(np.asarray(ids), want_ids)
     np.testing.assert_array_equal(np.asarray(mask), want_mask)
@@ -175,6 +180,31 @@ def test_fastpath_answers_match_host_path(trained):
     assert fast._hint_tables not in (None, False)
     assert fast._fused_predict is not None
     assert host._fused_predict is None
+
+
+def test_fastpath_matches_host_at_max_source_length(trained):
+    """Questions whose prompt overflows max_source_length must still be
+    answered identically by the fused and host paths: both truncate
+    content and keep the trailing EOS (regression — splice_hints used to
+    pass full-width rows through with NO EOS)."""
+    fast = MPRServer(trained, prompt_fastpath=True)
+    host = MPRServer(trained, prompt_fastpath=False)
+    entries = trained.dataset_test.entries[:3]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    # overflow 64 source tokens by a wide margin; ends mid-question so
+    # the junction is still boundary-safe (no trailing whitespace)
+    questions = [(e["question"] + " ") * 12 + e["question"]
+                 for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    W = trained.model_cfg.max_source_length
+    assert any(len(trained.tokenizer.encode(
+        f"Answer the {t} question: " + q, add_eos=False)) >= W
+        for q, t in zip(questions, tasks))
+    a_fast = fast.answer(images, questions, tasks, image_ids=ids)
+    a_host = host.answer(images, questions, tasks, image_ids=ids)
+    assert a_fast == a_host
+    assert fast._fused_predict is not None  # fast path engaged
 
 
 def test_fastpath_hint_table_covers_all_hints(trained):
