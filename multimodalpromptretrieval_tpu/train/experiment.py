@@ -85,6 +85,41 @@ def tokenizer_corpus(dataset_train, dataset_validate,
     return corpus
 
 
+def load_filtered_triple(cfg: Dict[str, Any], folder: str, data_name: str):
+    """(train, validate, test) datasets for ``data_name`` with every
+    config-driven filter applied, in the reference's order
+    (main.py:74-86): fewshot task filter, ``train_subset`` stratified
+    subsampling, then ``max_answers`` across all three splits.
+
+    Module-level so transfer evaluation can rebuild the SOURCE dataset's
+    triple to reconstruct the training tokenizer (see Experiment.__init__).
+    """
+    dataset_train = load_dataset(folder, data_name, "train")
+    fewshot = cfg.get("fewshot_training_tasks") or {}
+    if fewshot.get("enabled"):
+        # In the reference this key only alters the model prefix
+        # (utils.py:31-35); the dataset.filter it pairs with
+        # (VQAFeatureDataset.py:99-111) was driven manually. Here it is
+        # wired: restrict the train split to the listed tasks, capped
+        # per task.
+        dataset_train.filter(
+            fewshot.get("tasks", []),
+            fewshot.get("examples_per_task", float("inf")))
+    if "train_subset" in cfg:
+        split = dataset_train.get_stratified_split(
+            split_fraction=cfg["train_subset"])
+        dataset_train.entries = [dataset_train.entries[x] for x in split]
+    dataset_validate = load_dataset(folder, data_name, "validate")
+    dataset_test = load_dataset(folder, data_name, "test")
+    if cfg.get("max_answers"):
+        answer_set = dataset_train.filter_max_answers(cfg["max_answers"])
+        dataset_validate.filter_max_answers(
+            cfg["max_answers"], set(answer_set))
+        dataset_test.filter_max_answers(
+            cfg["max_answers"], set(answer_set))
+    return dataset_train, dataset_validate, dataset_test
+
+
 class Experiment:
     def __init__(self, cfg: Dict[str, Any], *, train_mode: bool,
                  model_file: Optional[str] = None,
@@ -127,32 +162,8 @@ class Experiment:
         self.data_name = data_name
 
         folder = cfg["datafolder"]
-        self.dataset_train = load_dataset(folder, data_name, "train")
-        fewshot = cfg.get("fewshot_training_tasks") or {}
-        if fewshot.get("enabled"):
-            # In the reference this key only alters the model prefix
-            # (utils.py:31-35); the dataset.filter it pairs with
-            # (VQAFeatureDataset.py:99-111) was driven manually. Here it is
-            # wired: restrict the train split to the listed tasks, capped
-            # per task.
-            self.dataset_train.filter(
-                fewshot.get("tasks", []),
-                fewshot.get("examples_per_task", float("inf")))
-        if "train_subset" in cfg:
-            split = self.dataset_train.get_stratified_split(
-                split_fraction=cfg["train_subset"])
-            self.dataset_train.entries = [
-                self.dataset_train.entries[x] for x in split]
-        self.dataset_validate = load_dataset(folder, data_name, "validate")
-        self.dataset_test = load_dataset(folder, data_name, "test")
-
-        if cfg.get("max_answers"):
-            answer_set = self.dataset_train.filter_max_answers(
-                cfg["max_answers"])
-            self.dataset_validate.filter_max_answers(
-                cfg["max_answers"], set(answer_set))
-            self.dataset_test.filter_max_answers(
-                cfg["max_answers"], set(answer_set))
+        (self.dataset_train, self.dataset_validate,
+         self.dataset_test) = load_filtered_triple(cfg, folder, data_name)
 
         self.label2ans, self.ans2label = create_ans2label(
             self.dataset_train, self.dataset_validate, self.dataset_test)
@@ -165,9 +176,22 @@ class Experiment:
         if spiece and os.path.exists(spiece):
             self.tokenizer = T5SentencePieceTokenizer.from_spiece_model(spiece)
         else:
-            corpus = tokenizer_corpus(self.dataset_train,
-                                      self.dataset_validate,
-                                      self.dataset_test)
+            if self.data_name != cfg["dataset"]:
+                # transfer evaluation: the tokenizer must be the one the
+                # checkpoint was TRAINED with (the reference's is a fixed
+                # asset, dataset-independent — T5VisionModel.py:57), so
+                # rebuild the SOURCE dataset's corpus, not the transfer
+                # dataset's: embedding rows are tied to those token ids.
+                state = random.getstate()  # get_stratified_split reseeds
+                try:
+                    corpus = tokenizer_corpus(*load_filtered_triple(
+                        cfg, folder, cfg["dataset"]))
+                finally:
+                    random.setstate(state)
+            else:
+                corpus = tokenizer_corpus(self.dataset_train,
+                                          self.dataset_validate,
+                                          self.dataset_test)
             self.tokenizer = T5SentencePieceTokenizer.from_corpus(corpus)
         # the reference adds one "[itk]" token (T5VisionModel.py:58-61)
         self.tokenizer.add_tokens(["[itk]"])

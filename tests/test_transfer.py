@@ -68,6 +68,11 @@ def test_zero_shot_transfer_flow(roots, tmp_path):
     exp2 = Experiment(cfg, train_mode=False, quiet=True, **paths)
     assert exp2.data_name == "VQA_RAD"
     assert type(exp2.retrieval_dataset).__name__ == "VQARADDataset"
+    # the tokenizer must be the TRAINING one (checkpoint embedding rows
+    # are tied to its ids), not one rebuilt from the transfer dataset
+    assert exp2.tokenizer.vocab.pieces == exp.tokenizer.vocab.pieces
+    q = exp2.dataset_test.entries[0]["question"]
+    assert exp2.tokenizer.encode(q) == exp.tokenizer.encode(q)
     m = exp2.test()
     assert sum(m.total.values()) == len(exp2.dataset_test.entries)
     assert len(m.consistencies) == sum(m.total.values())
