@@ -277,6 +277,55 @@ def _ff_block(p: Params, cfg: T5Config, x, rate: float = 0.0, rng=None):
     return dense(h, p["wo"])
 
 
+def encoder_block(p: Params, cfg: T5Config, x, *, bias, kv_mask, rng=None):
+    """One encoder block (pre-LN self-attention + FF with residuals).
+
+    The single source of truth for the encoder layer math: the scan in
+    :func:`t5_encode` and the pipeline-parallel stages
+    (parallel/pipeline.py) both call this. Returns ``(x, rng)`` with the
+    rng advanced past this layer's dropout draws (HF stream order).
+    """
+    rate = cfg.dropout_rate
+    r1 = r2 = r3 = None
+    if rng is not None:
+        rng, r1, r2, r3 = jax.random.split(rng, 4)
+    h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
+    x = x + _dropout(_attention_block(p["attn"], cfg, h, h, bias=bias,
+                                      kv_mask=kv_mask, causal=False),
+                     rate, r1)
+    h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
+                     rate, r3)
+    return x, rng
+
+
+def decoder_block(p: Params, cfg: T5Config, x, *, encoder_hidden, bias,
+                  enc_kv_mask, rng=None):
+    """One decoder block (causal self-attn + cross-attn + FF).
+
+    Shared by the :func:`t5_decode_train` scan/unrolled paths and the
+    pipeline-parallel stages. Decoder self-attention is causal with no
+    padding mask (HF default — see t5_decode_train). Returns ``(x, rng)``.
+    """
+    rate = cfg.dropout_rate
+    r1 = r2 = r3 = r4 = None
+    if rng is not None:
+        rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
+    h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
+    x = x + _dropout(_attention_block(p["self_attn"], cfg, h, h,
+                                      bias=bias, kv_mask=None,
+                                      causal=True), rate, r1)
+    h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+    x = x + _dropout(_attention_block(p["cross_attn"], cfg, h,
+                                      encoder_hidden, bias=None,
+                                      kv_mask=enc_kv_mask,
+                                      causal=False), rate, r2)
+    h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r3),
+                     rate, r4)
+    return x, rng
+
+
 def t5_encode(
     params: Params, cfg: T5Config, inputs_embeds: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None,
@@ -346,17 +395,8 @@ def t5_encode(
 
     def layer(carry, inp):
         x, rng = carry
-        p = inp
-        r1 = r2 = r3 = None
-        if rng is not None:
-            rng, r1, r2, r3 = jax.random.split(rng, 4)
-        h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
-        x = x + _dropout(_attention_block(p["attn"], cfg, h, h, bias=bias,
-                                          kv_mask=kv_mask, causal=False),
-                         rate, r1)
-        h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-        x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
-                         rate, r3)
+        x, rng = encoder_block(inp, cfg, x, bias=bias, kv_mask=kv_mask,
+                               rng=rng)
         return (x, rng), None
 
     if cfg.remat:
@@ -389,22 +429,8 @@ def t5_decode_train(
 
     def layer(carry, inp):
         x, rng = carry
-        p = inp
-        r1 = r2 = r3 = r4 = None
-        if rng is not None:
-            rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
-        h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-        x = x + _dropout(_attention_block(p["self_attn"], cfg, h, h,
-                                          bias=bias, kv_mask=None,
-                                          causal=True), rate, r1)
-        h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
-        x = x + _dropout(_attention_block(p["cross_attn"], cfg, h,
-                                          encoder_hidden, bias=None,
-                                          kv_mask=enc_kv_mask,
-                                          causal=False), rate, r2)
-        h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-        x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r3),
-                         rate, r4)
+        x, rng = decoder_block(inp, cfg, x, encoder_hidden=encoder_hidden,
+                               bias=bias, enc_kv_mask=enc_kv_mask, rng=rng)
         return (x, rng), None
 
     if cfg.remat:

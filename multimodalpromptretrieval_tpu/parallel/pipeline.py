@@ -1,0 +1,319 @@
+"""GPipe-style pipeline parallelism for the T5 stacks over a "pipe" axis.
+
+The reference has no parallelism of any kind (SURVEY.md §2c); this
+framework's first-class strategy is data parallelism, with Megatron-style
+tensor parallelism over the "model" mesh axis (parallel/mesh.py). This
+module adds the third classic axis so the mesh abstraction demonstrably
+supports dp / tp / pp:
+
+  * the stacked T5 encoder/decoder layers — already stored with a leading
+    layer axis (models/t5.py) — are split into ``n_pipe`` contiguous
+    stages simply by sharding that axis over "pipe";
+  * microbatches stream through the stages on a GPipe fill/steady/drain
+    schedule built from ``lax.scan`` + ``lax.ppermute`` inside
+    ``shard_map`` (the scaling-book recipe: each rank runs its local
+    layers, activations hop one ICI step per tick);
+  * autodiff through the schedule (ppermute transposes to the reverse
+    ring) yields the standard pipelined backward pass, so one
+    ``jax.value_and_grad`` gives the full GPipe train step.
+
+Numerics match the DP train step exactly for the deterministic
+(dropout-off) loss — each microbatch row sees the identical layer math
+(models/t5.encoder_block / decoder_block, the same functions the DP scan
+uses), and the loss is globally token-normalized before the psum-merge of
+gradients. Validated in tests/test_pipeline.py and the driver dryrun.
+
+Scope: the generative train/eval loss (where the depth is). The vision
+tower, embeddings and LM head are replicated — computed on the ranks that
+consume them, with partial gradients psum-merged over "pipe". Out of
+scope for *performance* at t5-small scale (two stages of a 6-layer stack
+leave the bubble dominant); in scope as a capability so deeper T5
+variants (t5-large: 24+24 layers) can stage across chips when HBM or
+step-time demands it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.models import t5 as t5m
+from multimodalpromptretrieval_tpu.ops.layers import rms_norm
+from multimodalpromptretrieval_tpu.train.optim import adamw_update
+
+Params = Dict[str, Any]
+
+
+def get_pipe_mesh(n_data: Optional[int] = None, n_pipe: int = 1) -> Mesh:
+    """("data", "pipe") mesh over the first n_data*n_pipe devices. The
+    "pipe" neighbours should be ICI-adjacent (JAX device order is) so the
+    per-tick activation hop is one link."""
+    import numpy as np
+
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_pipe
+    grid = np.asarray(devices[: n_data * n_pipe]).reshape(n_data, n_pipe)
+    return Mesh(grid, ("data", "pipe"))
+
+
+def _is_block_path(path) -> bool:
+    keys = tuple(getattr(k, "key", None) for k in path)
+    return "t5" in keys and "block" in keys
+
+
+def param_pipe_specs(params: Params):
+    """PartitionSpec pytree: T5 block stacks layer-sharded over "pipe"
+    (stage s holds layers [s*L/S, (s+1)*L/S)), everything else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: P("pipe") if _is_block_path(p) else P(), params)
+
+
+def param_pipe_shardings(params: Params, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(
+            mesh, P("pipe") if _is_block_path(p) else P()), params)
+
+
+def shard_params_pp(params: Params, mesh: Mesh):
+    """Place params on the ("data","pipe") mesh: block stacks layer-sharded,
+    the rest replicated."""
+    return jax.device_put(params, param_pipe_shardings(params, mesh))
+
+
+def gpipe(stage_fn, xs, extras, *, axis: str, n_stages: int):
+    """Run this rank's stage over M microbatches on a GPipe schedule.
+
+    Called inside ``shard_map``. ``xs``: (M, mb, ...) microbatched input,
+    injected at stage 0. ``extras``: pytree of (M, ...) per-microbatch side
+    inputs available on every rank (e.g. attention masks, encoder states).
+    ``stage_fn(x, extra) -> y`` applies this rank's local layers; y must
+    have x's shape (transformer blocks do). Returns (M, mb, ...) outputs,
+    valid only on the LAST rank of ``axis`` — broadcast with
+    :func:`from_last` if other ranks need them.
+
+    Schedule: M + n_stages - 1 ticks. At tick t, rank s processes
+    microbatch m = t - s (a bubble slot when m is out of range — the
+    compute runs on garbage and is discarded, the standard GPipe
+    trade), then ppermutes its activation to rank s+1.
+    """
+    s = lax.axis_index(axis)
+    M = xs.shape[0]
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+    state = jnp.zeros_like(xs[0])
+    out = jnp.zeros_like(xs)
+
+    def tick(carry, t):
+        state, out = carry
+        inject = lax.dynamic_index_in_dim(xs, jnp.clip(t, 0, M - 1),
+                                          keepdims=False)
+        cur = jnp.where(s == 0, inject, state)
+        m = t - s
+        mc = jnp.clip(m, 0, M - 1)
+        extra = jax.tree.map(
+            lambda e: lax.dynamic_index_in_dim(e, mc, keepdims=False),
+            extras)
+        y = stage_fn(cur, extra)
+        write = (s == n_stages - 1) & (m >= 0) & (m < M)
+        prev = lax.dynamic_index_in_dim(out, mc, keepdims=False)
+        out = lax.dynamic_update_index_in_dim(
+            out, jnp.where(write, y, prev), mc, 0)
+        state = lax.ppermute(y, axis, perm) if perm else y
+        return (state, out), None
+
+    (_, out), _ = lax.scan(tick, (state, out),
+                           jnp.arange(M + n_stages - 1))
+    return out
+
+
+def from_last(y, *, axis: str, n_stages: int):
+    """Broadcast a value computed on the last pipeline rank to all ranks.
+
+    Masked psum: forward it is an all-ranks copy of the last rank's value;
+    in reverse the psum transpose sums every consuming rank's cotangent
+    back onto the last rank's copy — exactly the total gradient of all
+    downstream uses (e.g. every decoder stage's cross-attention reads the
+    broadcast encoder states)."""
+    s = lax.axis_index(axis)
+    mask = (s == n_stages - 1).astype(y.dtype)
+    return lax.psum(y * mask, axis)
+
+
+def pp_generative_loss(params: Params, cfg: mprgen.MPRGenConfig,
+                       batch: Dict[str, jnp.ndarray], *, n_stages: int,
+                       microbatches: int, data_axis: str = "data",
+                       pipe_axis: str = "pipe",
+                       reduce: bool = True) -> jnp.ndarray:
+    """Pipelined generative CE loss, inside shard_map over (data, pipe).
+
+    With ``reduce=True``, equal on every rank to the global (all-shards)
+    deterministic ``mprgen.loss_fn`` value: the token normalization is
+    global (psum of summed log-likelihoods over both axes / psum of valid
+    counts over data), matching the reference's whole-batch mean
+    (t5.t5_loss). Dropout is off — the PP step trains deterministically
+    (documented; the per-(layer, microbatch) rng plumbing isn't worth
+    diverging the HF stream order for).
+
+    ``reduce=False`` returns the rank-LOCAL partial (this data shard's
+    masked log-likelihood sum over the global token count; nonzero only
+    on the last pipe rank). This is what the train step differentiates:
+    psum's AD transpose is psum, so reducing inside the differentiated
+    function would seed the backward pass on every rank and scale all
+    gradients by the rank count. Differentiate the local partial, then
+    psum the value and the gradients outside the grad.
+    """
+    tcfg = cfg.t5
+    s = lax.axis_index(pipe_axis)
+    params = mprgen.cast_compute(params, cfg)
+    images, tokens = mprgen._batch_visual(batch, cfg)
+    # Replicated front end: embeddings + vision prefix. Only rank 0's
+    # result is injected into the pipeline, so other ranks' copies get a
+    # zero cotangent and the psum-merge of shared-param grads stays exact.
+    embeds, mask = mprgen.combine_inputs(params, cfg, images,
+                                         batch["input_ids"],
+                                         batch["text_mask"], tokens)
+    B, L, D = embeds.shape
+    M = microbatches
+    assert B % M == 0, f"local batch {B} not divisible by {M} microbatches"
+    mb = B // M
+
+    enc = params["t5"]["encoder"]
+    bias = t5m.compute_position_bias(enc["rel_bias"], L, L,
+                                     bidirectional=True, cfg=tcfg)
+    kv_mask = mask.astype(bool)
+    xs = embeds.reshape(M, mb, L, D)
+    mask_mb = kv_mask.reshape(M, mb, L)
+
+    def enc_stage(x, extra):
+        def body(xc, p):
+            xc, _ = t5m.encoder_block(p, tcfg, xc, bias=bias,
+                                      kv_mask=extra, rng=None)
+            return xc, None
+        x, _ = lax.scan(body, x, enc["block"])
+        return x
+
+    enc_out = gpipe(enc_stage, xs, mask_mb, axis=pipe_axis,
+                    n_stages=n_stages)
+    enc_out = from_last(enc_out, axis=pipe_axis, n_stages=n_stages)
+    enc_hidden = rms_norm(enc_out.reshape(B, L, D), enc["final_ln"],
+                          tcfg.layer_norm_epsilon)
+
+    dec = params["t5"]["decoder"]
+    labels = batch["labels"]
+    dec_ids = t5m.shift_right(labels, tcfg)
+    T = dec_ids.shape[1]
+    y0 = params["t5"]["shared"][dec_ids]
+    dbias = t5m.compute_position_bias(dec["rel_bias"], T, T,
+                                      bidirectional=False, cfg=tcfg)
+    ys = y0.reshape(M, mb, T, D)
+    enc_mb = enc_hidden.reshape(M, mb, L, D)
+
+    def dec_stage(y, extra):
+        eh, km = extra
+
+        def body(yc, p):
+            yc, _ = t5m.decoder_block(p, tcfg, yc, encoder_hidden=eh,
+                                      bias=dbias, enc_kv_mask=km, rng=None)
+            return yc, None
+        y, _ = lax.scan(body, y, dec["block"])
+        return y
+
+    dec_out = gpipe(dec_stage, ys, (enc_mb, mask_mb), axis=pipe_axis,
+                    n_stages=n_stages)
+    # LM head + CE from each rank's own pipeline output; only the last
+    # rank's term survives the mask, so the psum is the true global sum
+    # and non-last ranks contribute zero gradient through this path.
+    x = rms_norm(dec_out.reshape(B, T, D), dec["final_ln"],
+                 tcfg.layer_norm_epsilon)
+    x = x * (tcfg.d_model ** -0.5)
+    logits = jnp.dot(x, params["t5"]["shared"].T.astype(x.dtype))
+    logits = logits.astype(jnp.float32)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    ll_sum = jnp.where(s == n_stages - 1, jnp.sum(ll * valid), 0.0)
+    count = lax.psum(jnp.sum(valid), data_axis)  # global; no grad path
+    loss = -ll_sum / jnp.maximum(count, 1)
+    if reduce:
+        loss = lax.psum(lax.psum(loss, pipe_axis), data_axis)
+    return loss
+
+
+def make_train_step_pp(cfg: mprgen.MPRGenConfig, trainable=None, *,
+                       mesh: Mesh, param_specs, microbatches: int = 0,
+                       donate: bool = True):
+    """Pipelined loss+grad+AdamW in one jit over a ("data","pipe") mesh.
+
+    fn(params, opt_state, batch, lr) -> (params, opt_state, loss), with
+    params/opt_state layer-sharded per ``param_specs``
+    (:func:`param_pipe_specs`) and the batch sharded over "data".
+    ``microbatches`` defaults to the stage count. Deterministic (no
+    dropout) — see :func:`pp_generative_loss`.
+    """
+    from jax import shard_map
+
+    n_stages = mesh.shape["pipe"]
+    tc = cfg.t5
+    assert tc.num_layers % n_stages == 0 \
+        and tc.num_decoder_layers % n_stages == 0, (
+            f"{tc.num_layers}+{tc.num_decoder_layers} layers don't split "
+            f"into {n_stages} pipeline stages")
+    M = microbatches or max(n_stages, 1)
+
+    def local_step(params, opt_state, batch, lr):
+        # Differentiate the rank-LOCAL partial loss (reduce=False) — see
+        # pp_generative_loss: psum transposes to psum, so a pre-reduced
+        # loss would seed every rank and scale gradients by the rank
+        # count. Reduce the value and merge the gradients afterwards.
+        loss, grads = jax.value_and_grad(pp_generative_loss)(
+            params, cfg, batch, n_stages=n_stages, microbatches=M,
+            reduce=False)
+        loss = lax.psum(lax.psum(loss, "pipe"), "data")
+
+        # Block grads are complete on their stage (autodiff routed them
+        # through the reverse ring); shared-param grads are per-rank
+        # partials — sum over "pipe". The loss is globally normalized, so
+        # the data-parallel merge is a sum too.
+        def merge(path, g):
+            if not _is_block_path(path):
+                g = lax.psum(g, "pipe")
+            return lax.psum(g, "data")
+
+        grads = jax.tree_util.tree_map_with_path(merge, grads)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         trainable=trainable)
+        return params, opt_state, loss
+
+    opt_specs = {"mu": param_specs, "nu": param_specs, "step": P()}
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(param_specs, opt_specs, P("data"), P()),
+                   out_specs=(param_specs, opt_specs, P()),
+                   check_vma=False)
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    return jax.jit(fn, **kwargs)
+
+
+def make_eval_loss_step_pp(cfg: mprgen.MPRGenConfig, *, mesh: Mesh,
+                           param_specs, microbatches: int = 0):
+    """Pipelined deterministic loss: fn(params, batch) -> global mean CE
+    (equals mprgen.loss_fn with rng=None on the gathered batch)."""
+    from jax import shard_map
+
+    n_stages = mesh.shape["pipe"]
+    M = microbatches or max(n_stages, 1)
+
+    def local(params, batch):
+        return pp_generative_loss(params, cfg, batch, n_stages=n_stages,
+                                  microbatches=M)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(param_specs, P("data")),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)

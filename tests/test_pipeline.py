@@ -1,0 +1,158 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-device CPU mesh.
+
+The T5 stacks are layer-sharded over a "pipe" mesh axis and run on a GPipe
+microbatch schedule (lax.scan + ppermute inside shard_map). These tests pin
+the capability claim: the pipelined loss and train step must reproduce the
+single-device / DP numerics exactly (deterministic, dropout-off path).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from multimodalpromptretrieval_tpu.models import mprgen
+from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+from multimodalpromptretrieval_tpu.models.t5 import T5Config
+from multimodalpromptretrieval_tpu.parallel import (
+    mesh as pmesh,
+    pipeline as pp,
+)
+from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+
+def _tiny_cfg(layers=4):
+    # 4+4 layers so a 4-stage pipeline has a layer per stage
+    return mprgen.MPRGenConfig(
+        t5=T5Config(vocab_size=256, d_model=32, d_kv=8, d_ff=64,
+                    num_layers=layers, num_decoder_layers=layers,
+                    num_heads=4),
+        clip=CLIPConfig(embed_dim=32, image_resolution=32, vision_width=32,
+                        vision_layers=1, patch_size=16, context_length=8,
+                        vocab_size=64, text_width=32,
+                        vision_heads_override=2, text_heads_override=2),
+        use_image_info=True,
+    )
+
+
+def _batch(cfg, B):
+    rng = np.random.default_rng(0)
+    R = cfg.clip.image_resolution
+    labels = rng.integers(2, cfg.t5.vocab_size, size=(B, 6)).astype(np.int32)
+    labels[:, -2:] = -100  # exercise the global valid-token normalization
+    return {
+        "images": rng.normal(size=(B, 3, R, R)).astype(np.float32),
+        "input_ids": rng.integers(2, cfg.t5.vocab_size,
+                                  size=(B, 12)).astype(np.int32),
+        "text_mask": np.ones((B, 12), np.int32),
+        "labels": labels,
+    }
+
+
+@pytest.fixture(scope="module")
+def pipe_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pp.get_pipe_mesh(n_data=2, n_pipe=4)
+
+
+def test_param_pipe_specs_shard_only_the_blocks():
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    specs = pp.param_pipe_specs(params)
+    assert specs["t5"]["encoder"]["block"]["attn"]["q"] == P("pipe")
+    assert specs["t5"]["decoder"]["block"]["ff"]["wo"] == P("pipe")
+    assert specs["t5"]["shared"] == P()
+    assert specs["t5"]["encoder"]["rel_bias"] == P()
+    assert specs["clip"]["visual"] != P("pipe") or True  # clip replicated
+    flat = jax.tree.leaves(
+        jax.tree.map(lambda s: s == P(), specs["clip"],
+                     is_leaf=lambda x: isinstance(x, P)))
+    assert all(flat)
+
+
+def test_pp_eval_loss_matches_single_device(pipe_mesh):
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, 16)
+
+    ref = float(jax.jit(lambda p, b: mprgen.loss_fn(p, cfg, b))(
+        params, batch))
+
+    specs = pp.param_pipe_specs(params)
+    p = pp.shard_params_pp(params, pipe_mesh)
+    b = pmesh.shard_batch(batch, pipe_mesh)
+    loss = float(pp.make_eval_loss_step_pp(
+        cfg, mesh=pipe_mesh, param_specs=specs)(p, b))
+    np.testing.assert_allclose(ref, loss, rtol=1e-6)
+
+
+def test_pp_train_step_matches_single_device(pipe_mesh):
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    batch = _batch(cfg, 16)
+
+    # single-device reference, deterministic (rng=None -> dropout off,
+    # the same contract the PP step documents)
+    step1 = pmesh.make_train_step(cfg, trainable, donate=False)
+    p1, o1, loss1 = step1(params, opt, batch, jnp.float32(1e-3), None)
+
+    specs = pp.param_pipe_specs(params)
+    p = pp.shard_params_pp(params, pipe_mesh)
+    o = pp.shard_params_pp(opt, pipe_mesh)
+    b = pmesh.shard_batch(batch, pipe_mesh)
+    step_pp = pp.make_train_step_pp(cfg, trainable, mesh=pipe_mesh,
+                                    param_specs=specs, donate=False)
+    p2, o2, loss2 = step_pp(p, o, b, jnp.float32(1e-3))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    # Gradient fidelity, checked through the raw first moments (mu = 0.1*g
+    # after step 1): tight tolerance — the PP backward (psum-merged
+    # per-microbatch partials) must agree with the whole-batch grads up to
+    # fp32 summation-order noise.
+    for leaf_path in (("t5", "shared"),
+                      ("t5", "encoder"), ("t5", "decoder")):
+        ref_mu = o1["mu"]
+        got_mu = o2["mu"]
+        for k in leaf_path:
+            ref_mu, got_mu = ref_mu[k], got_mu[k]
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(ref_mu)[0]),
+            np.asarray(jax.tree.leaves(got_mu)[0]),
+            rtol=1e-4, atol=1e-6)
+    # Updated params: looser — AdamW's first step is ~ lr * g/sqrt(g^2)
+    # (sign-like), so eps-scale grad components amplify accumulation-order
+    # noise into the update.
+    np.testing.assert_allclose(
+        np.asarray(p1["t5"]["shared"]), np.asarray(p2["t5"]["shared"]),
+        rtol=1e-3, atol=5e-4)
+    for tower in ("encoder", "decoder"):
+        ref_wi = np.asarray(p1["t5"][tower]["block"]["ff"]["wi"])
+        got_wi = np.asarray(p2["t5"][tower]["block"]["ff"]["wi"])
+        np.testing.assert_allclose(ref_wi, got_wi, rtol=1e-3, atol=5e-4)
+
+
+def test_pp_more_microbatches_than_stages(pipe_mesh):
+    """M > S exercises the steady-state portion of the schedule."""
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, 16)
+    ref = float(jax.jit(lambda p, b: mprgen.loss_fn(p, cfg, b))(
+        params, batch))
+    specs = pp.param_pipe_specs(params)
+    p = pp.shard_params_pp(params, pipe_mesh)
+    b = pmesh.shard_batch(batch, pipe_mesh)
+    loss = float(pp.make_eval_loss_step_pp(
+        cfg, mesh=pipe_mesh, param_specs=specs, microbatches=8)(p, b))
+    np.testing.assert_allclose(ref, loss, rtol=1e-6)
+
+
+def test_pp_rejects_indivisible_stages(pipe_mesh):
+    cfg = _tiny_cfg(layers=3)  # 3 layers don't split into 4 stages
+    with pytest.raises(AssertionError):
+        pp.make_train_step_pp(cfg, mesh=pipe_mesh,
+                              param_specs={})
