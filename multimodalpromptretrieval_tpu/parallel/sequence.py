@@ -1,0 +1,156 @@
+"""Sequence (context) parallelism: ring attention over a "seq" mesh axis.
+
+The reference caps sources at 512 text + 50 image tokens and has no
+parallelism at all (SURVEY.md §2c, §5.7), so nothing here is needed for
+parity — this module completes the mesh story (dp / tp / pp / sp) and is
+the scaling path for contexts that outgrow one chip's HBM: activations are
+sharded over the *sequence* axis and attention runs as a ring
+(the blockwise/flash decomposition distributed over devices; each rank
+holds one K/V chunk and passes it around the ICI ring with
+``lax.ppermute`` while accumulating an online softmax).
+
+Semantics match ``ops.attention.multi_head_attention`` (impl="xla") on the
+gathered sequence — including its finite ``-1e9`` additive masking, so
+fully-masked rows degrade to the same uniform softmax. The accumulation is
+the standard flash-attention online rescale in fp32; results differ from
+the one-shot softmax only by float summation order (tested ≤1e-5).
+
+Layout: contiguous sequence chunks (rank r holds positions
+[r*Lc, (r+1)*Lc)). With ``causal=True`` the late ring steps of early ranks
+are fully-masked compute bubbles — the classic fix is a zigzag/striped
+layout, which trades exactness bookkeeping for load balance; at this
+framework's sequence lengths the contiguous layout is the honest default
+and the bubble is documented rather than hidden.
+
+Expert parallelism is the one classic axis deliberately absent end-to-end:
+the model family has no MoE layers (T5-small/-large dense FF; SURVEY.md
+§2a), so there is no expert dimension to shard.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_NEG_INF = -1e9  # keep parity with ops.attention._attention_xla
+
+
+def get_seq_mesh(n_data: Optional[int] = None, n_seq: int = 1) -> Mesh:
+    """("data", "seq") mesh over the first n_data*n_seq devices; "seq"
+    neighbours are JAX-device-order adjacent so each ring hop is one ICI
+    link."""
+    import numpy as np
+
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_seq
+    grid = np.asarray(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(grid, ("data", "seq"))
+
+
+def ring_attention(q, k, v, *, axis: str, n_ranks: int, bias=None,
+                   kv_mask=None, causal: bool = False,
+                   scale: Optional[float] = None):
+    """Exact attention over sequence-sharded q/k/v, inside ``shard_map``.
+
+    q, k, v: (B, H, Lc, Dh) — this rank's contiguous sequence chunk
+        (global L = n_ranks * Lc; q and kv chunks are co-sharded).
+    bias: optional additive bias over GLOBAL positions, (1|B, H, L, L),
+        replicated on every rank (T5's relative-position bias is (1, H, L,
+        L) and small); each ring step slices the (my q chunk, current kv
+        chunk) tile.
+    kv_mask: optional (B, Lc) validity of this rank's LOCAL kv chunk; it
+        travels the ring with k/v.
+    causal: global causal mask (query global index >= key global index).
+    scale: 1/sqrt(Dh) default; pass 1.0 for T5 (scale folded into weights).
+
+    Returns (B, H, Lc, Dh) in q.dtype — this rank's chunk of the global
+    attention output.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    B, H, Lc, Dh = q.shape
+    s = lax.axis_index(axis)
+    perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
+
+    qf = q.astype(jnp.float32)
+    m0 = jnp.full((B, H, Lc), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H, Lc), jnp.float32)
+    acc0 = jnp.zeros((B, H, Lc, Dh), jnp.float32)
+    mask0 = (jnp.ones((B, Lc), jnp.bool_) if kv_mask is None
+             else kv_mask.astype(jnp.bool_))
+
+    def step(carry, t):
+        k_c, v_c, mask_c, m, l, acc = carry
+        # after t forward hops, this rank holds rank (s - t) mod n's chunk
+        src = jnp.mod(s - t, n_ranks)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qf,
+                            k_c.astype(jnp.float32)) * scale
+        if bias is not None:
+            tile = lax.dynamic_slice(
+                bias.astype(jnp.float32),
+                (0, 0, s * Lc, src * Lc),
+                (bias.shape[0], bias.shape[1], Lc, Lc))
+            scores = scores + tile
+        scores = jnp.where(mask_c[:, None, None, :], scores, _NEG_INF)
+        if causal:
+            qi = s * Lc + lax.broadcasted_iota(jnp.int32, (Lc, Lc), 0)
+            ki = src * Lc + lax.broadcasted_iota(jnp.int32, (Lc, Lc), 1)
+            scores = jnp.where((ki <= qi)[None, None], scores, _NEG_INF)
+        m_new = jnp.maximum(m, scores.max(axis=-1))
+        p = jnp.exp(scores - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_c.astype(jnp.float32))
+        k_c, v_c, mask_c = jax.tree.map(
+            lambda x: lax.ppermute(x, axis, perm), (k_c, v_c, mask_c))
+        return (k_c, v_c, mask_c, m_new, l, acc), None
+
+    (_, _, _, _, l, acc), _ = lax.scan(
+        step, (k, v, mask0, m0, l0, acc0), jnp.arange(n_ranks))
+    return (acc / l[..., None]).astype(q.dtype)
+
+
+def make_sp_attention(mesh: Mesh, *, causal: bool = False,
+                      scale: Optional[float] = None,
+                      seq_axis: str = "seq", data_axis: str = "data"):
+    """Jitted sequence-parallel attention over ``mesh``.
+
+    fn(q, k, v, bias=None, kv_mask=None) with GLOBAL (B, H, L, Dh) arrays:
+    batch sharded over ``data_axis``, sequence sharded over ``seq_axis``,
+    bias replicated. Drop-in comparable to
+    ``multi_head_attention(..., impl="xla")``.
+    """
+    from jax import shard_map
+
+    n_seq = mesh.shape[seq_axis]
+    qkv_spec = P(data_axis, None, seq_axis, None)
+    mask_spec = P(data_axis, seq_axis)
+
+    def local(q, k, v, bias, kv_mask):
+        return ring_attention(q, k, v, axis=seq_axis, n_ranks=n_seq,
+                              bias=bias, kv_mask=kv_mask, causal=causal,
+                              scale=scale)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(qkv_spec, qkv_spec, qkv_spec, P(), mask_spec),
+                   out_specs=qkv_spec, check_vma=False)
+    jfn = jax.jit(fn)
+
+    def call(q, k, v, bias=None, kv_mask=None):
+        if bias is None:
+            bias = jnp.zeros((1, 1, q.shape[2], k.shape[2]), jnp.float32)
+        if kv_mask is None:
+            kv_mask = jnp.ones((k.shape[0], k.shape[2]), jnp.bool_)
+        sh = NamedSharding(mesh, qkv_spec)
+        q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
+        kv_mask = jax.device_put(kv_mask, NamedSharding(mesh, mask_spec))
+        return jfn(q, k, v, bias, kv_mask)
+
+    return call
