@@ -111,9 +111,13 @@ def decode_attention_indicator(q, k, v, bias=None, kv_mask=None, *,
     # p_exp is a 0/1 scatter of p (value-copying), and its products
     # against V accumulate in fp32 like the reference einsum.
     prod = q[:, None, :] * k.astype(q.dtype)
+    # HIGHEST so fp32 operands are NOT bf16-truncated on the MXU (TPU's
+    # default precision); a no-op for bf16 production inputs. Without it
+    # the "exact" 0/1 dots silently round their fp32 operand.
     s = jax.lax.dot_general(
         prod.reshape(B * T, W), seg, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(B, T, H)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(B, T, H)
     s = s.astype(q.dtype).astype(jnp.float32)  # reference rounding point
     if scale != 1.0:
         s = s * scale
@@ -125,7 +129,8 @@ def decode_attention_indicator(q, k, v, bias=None, kv_mask=None, *,
     p = p.astype(q.dtype)  # reference rounding point
     p_exp = jax.lax.dot_general(
         p.reshape(B * T, H), seg, (((1,), (1,)), ((), ())),
-        preferred_element_type=q.dtype).reshape(B, T, W)
+        preferred_element_type=q.dtype,
+        precision=jax.lax.Precision.HIGHEST).reshape(B, T, W)
     o = jnp.sum(p_exp.astype(jnp.float32) * v.astype(jnp.float32), axis=1)
     return o.astype(q.dtype)
 
@@ -164,9 +169,15 @@ def _make_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
         for h in range(H):
             sl = slice(h * Dh, (h + 1) * Dh)
             kh = k_ref[:, :, sl].reshape(Bb * T, Dh)
+            # fp32 operands need HIGHEST to avoid MXU bf16 truncation;
+            # Mosaic rejects fp32 contract precision for bf16 operands,
+            # so pick per-dtype (bf16 dots are single-pass either way)
+            prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
             qr = jax.lax.dot_general(
                 R, q[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(q.dtype)
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(q.dtype)
             # fp32 products + fp32 accumulate, rounded to the compute
             # dtype once — the same semantics as the MXU einsum in
             # decode_attention_reference
@@ -269,9 +280,16 @@ def _make_fused_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
         R = (rows // T == cols).astype(dt)  # exact replication matrix
         # Mosaic requires 32-bit matmul accumulators; the 0/1 matmuls
         # copy values exactly, so the fp32->dt casts are lossless
+        # HIGHEST keeps fp32 operands un-truncated on the MXU — the 0/1
+        # matmuls are only "exact" if the data operand isn't rounded
+        # first. Mosaic rejects fp32 contract precision on bf16 operands,
+        # so pick per-dtype (bf16 dots are single-pass either way).
+        prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         qr = jax.lax.dot_general(
             R, q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dt)
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(dt)
         kf = k_ref[...].reshape(Bb * T, W)
         prod = qr * kf  # dt products (the indicator path's one rounding)
         wi = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
@@ -279,7 +297,8 @@ def _make_fused_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
         seg = (wi // Dh == hi).astype(dt)
         s8 = jax.lax.dot_general(
             prod, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (Bb*T, H)
+            preferred_element_type=jnp.float32,
+            precision=prec)  # (Bb*T, H)
         mask_add = None
         if mask_ref is not None:
             mask_add = (1.0 - mask_ref[...].astype(jnp.float32)) * _NEG_INF
@@ -300,12 +319,16 @@ def _make_fused_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
         p8 = jnp.concatenate(cols_p, axis=1)  # (Bb*T, H) value-exact
         p_exp = jax.lax.dot_general(
             p8, seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dt)  # exact copy
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(dt)  # exact copy
         pv = (p_exp.astype(jnp.float32)
               * v_ref[...].reshape(Bb * T, W).astype(jnp.float32))
+        # pv is fp32 even in bf16 mode — HIGHEST here keeps the segment
+        # sum fp32-accurate like the reference's fp32 p·V accumulation
         o_ref[...] = jax.lax.dot_general(
             R.astype(jnp.float32), pv, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
 
     return kernel
 

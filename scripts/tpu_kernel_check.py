@@ -83,6 +83,121 @@ def main():
     d = np.abs(refs - gots).max()
     check("short_attention[packed]", d < 5e-2, f"maxdiff={d:.4f}")  # bf16 self-attn rounding; fp32 parity is covered on CPU
 
+    # fused norm kernels: values AND grads vs the jnp implementations
+    from multimodalpromptretrieval_tpu.ops.layers import (
+        layer_norm as ln_ref,
+        rms_norm as rms_ref,
+    )
+    from multimodalpromptretrieval_tpu.ops.norm import (
+        fused_layer_norm,
+        fused_rms_norm,
+    )
+
+    xn = jnp.asarray(rng.normal(size=(384, 512)).astype(np.float32))
+    wn = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+    bn = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+    f_ln = jax.jit(lambda x, w, b: jnp.sum(fused_layer_norm(x, w, b) ** 2))
+    f_lr = jax.jit(lambda x, w, b: jnp.sum(ln_ref(x, w, b) ** 2))
+    gv = jax.value_and_grad(f_ln, argnums=(0, 1, 2))(xn, wn, bn)
+    rv = jax.value_and_grad(f_lr, argnums=(0, 1, 2))(xn, wn, bn)
+    d = max(abs(float(gv[0]) - float(rv[0])) / abs(float(rv[0])),
+            *(np.abs(np.asarray(a) - np.asarray(b)).max()
+              for a, b in zip(gv[1], rv[1])))
+    check("fused_layer_norm[val+grad]", d < 1e-3, f"maxdiff={d:.5f}")
+
+    f_rn = jax.jit(lambda x, w: jnp.sum(fused_rms_norm(x, w) ** 2))
+    f_rr = jax.jit(lambda x, w: jnp.sum(rms_ref(x, w) ** 2))
+    gv = jax.value_and_grad(f_rn, argnums=(0, 1))(xn, wn)
+    rv = jax.value_and_grad(f_rr, argnums=(0, 1))(xn, wn)
+    d = max(abs(float(gv[0]) - float(rv[0])) / abs(float(rv[0])),
+            *(np.abs(np.asarray(a) - np.asarray(b)).max()
+              for a, b in zip(gv[1], rv[1])))
+    check("fused_rms_norm[val+grad]", d < 1e-3, f"maxdiff={d:.5f}")
+
+    # row attention (ViT/CLIP-text/T5-enc serving path) vs the XLA oracle
+    from multimodalpromptretrieval_tpu.ops.row_attention import (
+        row_attention,
+        row_attention_packed,
+    )
+
+    B, L, H, Dh = 4, 64, 8, 64
+    W = H * Dh
+    xr = rng.normal(size=(B, L, 3 * W)).astype(np.float32)
+    qr, kr, vr = (jnp.asarray(xr[..., i * W:(i + 1) * W], jnp.bfloat16)
+                  for i in range(3))
+    to_h = lambda t: jnp.transpose(  # noqa: E731
+        t.reshape(B, L, H, Dh), (0, 2, 1, 3))
+    ref_r = np.asarray(multi_head_attention(
+        to_h(qr), to_h(kr), to_h(vr), scale=Dh ** -0.5,
+        impl="xla")).astype(np.float32)
+    got_r = np.asarray(to_h(row_attention(
+        qr, kr, vr, heads=H, scale=Dh ** -0.5))).astype(np.float32)
+    d = np.abs(ref_r - got_r).max()
+    check("row_attention", d < 5e-2, f"maxdiff={d:.4f}")
+    got_p = np.asarray(to_h(row_attention_packed(
+        jnp.asarray(xr, jnp.bfloat16), heads=H, scale=Dh ** -0.5,
+        causal=True))).astype(np.float32)
+    ref_p = np.asarray(multi_head_attention(
+        to_h(qr), to_h(kr), to_h(vr), scale=Dh ** -0.5, causal=True,
+        impl="xla")).astype(np.float32)
+    d = np.abs(ref_p - got_p).max()
+    check("row_attention_packed[causal]", d < 5e-2, f"maxdiff={d:.4f}")
+
+    # decode attention: Pallas per-head + one-pass fused vs the reference
+    from multimodalpromptretrieval_tpu.ops.decode_attention import (
+        decode_attention,
+        decode_attention_fused,
+        decode_attention_indicator,
+        decode_attention_reference,
+    )
+
+    B, T, H, Dh = 64, 32, 8, 64
+    W = H * Dh
+    q32 = rng.normal(size=(B, W)).astype(np.float32)
+    k32 = rng.normal(size=(B, T, W)).astype(np.float32)
+    v32 = rng.normal(size=(B, T, W)).astype(np.float32)
+    biasd = jnp.asarray(rng.normal(size=(H, T)).astype(np.float32))
+    maskd = jnp.asarray((rng.random((B, T)) > 0.2).astype(np.int32))
+    # fp32 pass, tight: after the Precision.HIGHEST fix all three paths
+    # sit at float summation-order distance from the (HIGHEST) reference;
+    # the default-precision MXU would bf16-truncate fp32 operands and
+    # show up here as ~1e-1
+    qf, kf, vf = jnp.asarray(q32), jnp.asarray(k32), jnp.asarray(v32)
+    with jax.default_matmul_precision("highest"):
+        ref_f = np.asarray(decode_attention_reference(
+            qf, kf, vf, biasd, maskd, heads=H))
+    for name, fn in (("decode_attention[pallas,f32]", decode_attention),
+                     ("decode_attention[fused,f32]",
+                      decode_attention_fused),
+                     ("decode_attention[indicator,f32]",
+                      decode_attention_indicator)):
+        got_f = np.asarray(fn(qf, kf, vf, biasd, maskd, heads=H))
+        d = np.abs(ref_f - got_f).max()
+        check(name, d < 1e-4, f"maxdiff={d:.2e}")
+    # bf16 pass: the per-head pallas kernel computes scores from fp32
+    # elementwise products (tight); indicator/fused round the q*k
+    # products to bf16 BEFORE the score reduction (the documented
+    # deviation from the MXU-exact reference einsum — see
+    # decode_attention_indicator's docstring), so compare them loosely
+    # vs the reference but EXACTLY against each other (same designed
+    # rounding points → bit-identical)
+    qd, kd, vd = (jnp.asarray(x, jnp.bfloat16) for x in (q32, k32, v32))
+    ref_d = np.asarray(decode_attention_reference(
+        qd, kd, vd, biasd, maskd, heads=H)).astype(np.float32)
+    got_p = np.asarray(decode_attention(
+        qd, kd, vd, biasd, maskd, heads=H)).astype(np.float32)
+    d = np.abs(ref_d - got_p).max()
+    check("decode_attention[pallas,bf16]", d < 5e-2, f"maxdiff={d:.4f}")
+    got_i = np.asarray(decode_attention_indicator(
+        qd, kd, vd, biasd, maskd, heads=H)).astype(np.float32)
+    d = np.abs(ref_d - got_i).max()
+    check("decode_attention[indicator,bf16]", d < 0.25, f"maxdiff={d:.4f}")
+    got_u = np.asarray(decode_attention_fused(
+        qd, kd, vd, biasd, maskd, heads=H)).astype(np.float32)
+    d = np.abs(got_i - got_u).max()
+    check("decode_attention[fused==indicator,bf16]", d < 1e-6,
+          f"maxdiff={d:.2e}")
+
     sys.exit(1 if failures else 0)
 
 
