@@ -358,6 +358,49 @@ def run_e2e(args, data_dir: str):
     return steady, median, piped, cold
 
 
+def run_e2e_int8(args, data_dir: str):
+    """W8A8 quantized serving (MPRServer ``quantize="int8"``): steady /
+    pipelined QA/s plus exact answer agreement vs the full-precision
+    path on identical inputs.
+
+    "int8" quantizes only the T5 encoder/decoder GEMMs (ops/quant), so
+    retrieval ranks are identical to the fp path by construction; the
+    agreement rate isolates the decode drift from the two int8 rounding
+    steps. Uses the trained checkpoint when one is cached (the
+    meaningful agreement measurement), random init otherwise."""
+    import os
+
+    import numpy as np  # noqa: F401  (parity with sibling runners)
+
+    from multimodalpromptretrieval_tpu.serve import MPRServer
+
+    exp = _bench_experiment(args, data_dir, tiny=args.preset == "tiny")
+    have_ckpt = os.path.exists(exp.model_path)
+    q_server = MPRServer(exp, load_checkpoint=have_ckpt, quantize="int8",
+                         pipeline_depth=args.pipeline_depth)
+    # params are already loaded into exp by the first server (if at all);
+    # the fp server reuses them without reloading
+    fp_server = MPRServer(exp, load_checkpoint=False,
+                          pipeline_depth=args.pipeline_depth)
+
+    entries = exp.dataset_test.entries
+    import numpy as _np
+
+    images = _np.stack([exp.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    n = len(entries)
+    q_server.stage_images(images, ids)
+    fp_server.stage_images(images, ids)
+    fp_ans = fp_server.answer(None, questions, tasks, image_ids=ids)
+    q_ans = q_server.answer(None, questions, tasks, image_ids=ids)
+    match = sum(a == b for a, b in zip(fp_ans, q_ans)) / n
+    best, median, piped = _steady_windows(q_server, questions, tasks, ids,
+                                          n, args)
+    return best, median, piped, match, have_ckpt
+
+
 def run_train(args, data_dir: str) -> float:
     """Train-step throughput (examples/sec) on the full-size model."""
     import jax
@@ -414,7 +457,10 @@ def run_train(args, data_dir: str) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="all",
-                   choices=["all", "e2e", "e2e_trained", "device", "train"])
+                   choices=["all", "e2e", "e2e_trained", "e2e_int8",
+                            "device", "train"])
+    p.add_argument("--no-int8", action="store_true",
+                   help="all: skip the quantized-serving measurement")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--batch", type=int, default=512)
@@ -509,6 +555,17 @@ def main():
         print(json.dumps({
             "metric": "train_examples_per_sec", "value": round(v, 2),
             "unit": "ex/s", "vs_baseline": None}))
+    elif args.mode == "e2e_int8":
+        best, median, piped, match, trained = run_e2e_int8(
+            args, args.data_dir)
+        print(json.dumps({
+            "metric": "slake_serve_qa_pairs_per_sec_e2e_int8",
+            "value": round(best, 2), "unit": "QA/s",
+            "vs_baseline": round(best / baseline, 4),
+            "e2e_int8_median_of_windows": round(median, 2),
+            "e2e_int8_pipelined_qa_per_sec": round(piped, 2),
+            "int8_answer_match_vs_fp": round(match, 4),
+            "int8_used_trained_checkpoint": trained}))
     else:  # all: steady-state e2e is the headline; the rest ride along
         steady, median, piped, cold = run_e2e(args, args.data_dir)
         dev = run_device(args)
@@ -521,6 +578,15 @@ def main():
                 else (None, None, None))
         except Exception:  # never let the extra number sink the record
             trained = trained_med = trained_piped = None
+        int8_v = int8_piped = int8_match = None
+        if not args.no_int8:
+            try:
+                i8 = run_e2e_int8(args, args.data_dir)
+                int8_v, _, int8_piped, int8_match = (
+                    round(i8[0], 2), i8[1], round(i8[2], 2),
+                    round(i8[3], 4))
+            except Exception:  # never let the extra number sink the record
+                pass
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e",
             "value": round(steady, 2), "unit": "QA/s",
@@ -531,6 +597,9 @@ def main():
             "e2e_trained_earlystop_qa_per_sec": trained,
             "e2e_trained_median_of_windows": trained_med,
             "e2e_trained_pipelined_qa_per_sec": trained_piped,
+            "e2e_int8_qa_per_sec": int8_v,
+            "e2e_int8_pipelined_qa_per_sec": int8_piped,
+            "int8_answer_match_vs_fp": int8_match,
             "device_only_qa_per_sec": round(dev, 2),
             "train_ex_per_sec": round(trn, 2)}))
 

@@ -432,12 +432,22 @@ def ban_predict(params, cfg, images, input_ids, text_mask, tokens=None):
 
 def cast_compute(params: Params, cfg: MPRGenConfig) -> Params:
     """fp32 master params -> compute-dtype copy (grads flow through the
-    cast, so the optimizer still sees fp32 gradients on fp32 masters)."""
+    cast, so the optimizer still sees fp32 gradients on fp32 masters).
+
+    int8 quantization scales (``q_scale`` leaves of ops/quant kernels in
+    quantized serving params) stay fp32: they multiply an int32
+    accumulator, and rounding them to bf16 would add avoidable error on
+    top of the int8 rounding itself.
+    """
     if cfg.compute_dtype == "float32":
         return params
     dt = jnp.dtype(cfg.compute_dtype)
-    return jax.tree.map(
-        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: x if (
+            x.dtype != jnp.float32
+            or (path and getattr(path[-1], "key", None) == "q_scale")
+        ) else x.astype(dt),
+        params)
 
 
 def _batch_visual(batch: Dict[str, jnp.ndarray], cfg: MPRGenConfig):

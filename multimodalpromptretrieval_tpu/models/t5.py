@@ -47,6 +47,7 @@ from multimodalpromptretrieval_tpu.ops.layers import (
     gelu_new,
     rms_norm,
 )
+from multimodalpromptretrieval_tpu.ops.quant import kconcat, kslice
 
 Params = Dict[str, Any]
 
@@ -370,7 +371,10 @@ def t5_encode(
         rng = dropout_rng
         # One fused q/k/v GEMM per layer; the packed kernel slices the
         # lane-aligned [q | k | v] column groups in VMEM (no split copies).
-        qkv_w = jnp.concatenate(
+        # kconcat/kslice keep the packing working when the kernels are
+        # int8-quantized dicts (ops/quant; per-out-channel scales
+        # concatenate along the packed axis).
+        qkv_w = kconcat(
             [enc["block"]["attn"]["q"], enc["block"]["attn"]["k"],
              enc["block"]["attn"]["v"]], axis=2)  # (Lyrs, D, 3W)
         for li in range(n_layers):
@@ -379,7 +383,7 @@ def t5_encode(
             if rng is not None:
                 rng, r1, r2, r3 = jax.random.split(rng, 4)
             h = fused_rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, qkv_w[li]).reshape(B, L, 3 * W)
+            qkv = dense(h, kslice(qkv_w, li)).reshape(B, L, 3 * W)
             o = row_attention_packed(qkv, bias_h, mask,
                                      heads=cfg.num_heads, scale=1.0,
                                      interpret=interpret)
@@ -656,8 +660,9 @@ def t5_greedy_decode(
     # Fuse the per-layer self-attention q/k/v projections into one matmul
     # per decode step: (Lyrs, D, 3·W). The MXU sees one larger GEMM
     # instead of three skinny ones; q/k/v come out as lane-aligned
-    # column slices of the result.
-    qkv_w = jnp.concatenate(
+    # column slices of the result. kconcat/kslice keep this working for
+    # int8-quantized kernels (ops/quant).
+    qkv_w = kconcat(
         [dec["block"]["self_attn"]["q"], dec["block"]["self_attn"]["k"],
          dec["block"]["self_attn"]["v"]], axis=2)
 
@@ -723,7 +728,7 @@ def t5_greedy_decode(
         for li in range(Lyrs):
             p = pick(dec["block"], li)
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, qkv_w[li])  # (B, 3W)
+            qkv = dense(h, kslice(qkv_w, li))  # (B, 3W)
             q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:])
             o, self_k, self_v = self_attention(
                 li, q, k_new, v_new, self_k, self_v)

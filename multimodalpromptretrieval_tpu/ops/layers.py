@@ -57,12 +57,21 @@ def layer_norm(
     return (y.astype(orig_dtype) * weight + bias).astype(orig_dtype)
 
 
-def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+def dense(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """y = x @ kernel (+ bias). ``kernel`` is stored (in_dim, out_dim).
 
     Torch ``nn.Linear`` stores (out, in); converters transpose once at load
     time so the hot path is a plain MXU matmul.
+
+    ``kernel`` may also be an int8 quantized-kernel dict produced by
+    :func:`ops.quant.quantize_kernel` (the opt-in W8A8 serving mode) —
+    the dispatch is on the pytree type, resolved at trace time, so the
+    fp path pays nothing.
     """
+    if isinstance(kernel, dict):
+        from multimodalpromptretrieval_tpu.ops.quant import dense_q8
+
+        return dense_q8(x, kernel, bias)
     y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if bias is not None:
         y = y + bias

@@ -54,7 +54,7 @@ class AnswerHandle:
 class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
                  max_new_tokens: int = 20, prompt_fastpath: bool = True,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1, quantize: Optional[str] = None):
         import os
 
         from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
@@ -62,6 +62,9 @@ class MPRServer:
         self.exp = experiment
         self.max_new_tokens = max_new_tokens
         self.prompt_fastpath = prompt_fastpath
+        if quantize not in (None, "int8", "int8_all"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
         # chunks allowed in flight before the pipeline starts consuming:
         # 1 = the classic software pipeline (host work for chunk i±1
         # overlaps chunk i's device run); deeper queues can hide more of
@@ -71,6 +74,21 @@ class MPRServer:
         if load_checkpoint and os.path.exists(experiment.model_path):
             experiment.params, _, _ = ckpt.load_checkpoint(
                 experiment.model_path, experiment.params)
+        # Serving params: optionally int8-quantized (ops/quant — W8A8 on
+        # the MXU at 2x the bf16 rate). "int8" quantizes the T5 stacks
+        # only, so retrieval (whose corpus was embedded at full
+        # precision) keeps identical neighbor ranks; "int8_all" also
+        # quantizes the CLIP towers. The experiment's master params are
+        # untouched — only the serve steps see the quantized copy.
+        if quantize is not None:
+            from multimodalpromptretrieval_tpu.ops.quant import (
+                quantize_params,
+            )
+
+            self.params = quantize_params(
+                experiment.params, t5=True, clip=(quantize == "int8_all"))
+        else:
+            self.params = experiment.params
         if experiment.retrieval_index is not None:
             experiment.retrieval_index.is_training_phase = False
             self._embed = experiment._clip_embed_fn()
@@ -157,7 +175,7 @@ class MPRServer:
         emb, pref = encode_unique_chunks(
             list(first.values()), lambda i: images[i].astype(np_dt),
             lambda x: exp.device_batch_from({"x": x})["x"],
-            lambda x: self._embed_prefix_step(exp.params, x),
+            lambda x: self._embed_prefix_step(self.params, x),
             exp.batch_size, n_out=2)
         return {iid: j for j, iid in enumerate(first)}, emb, pref
 
@@ -210,7 +228,7 @@ class MPRServer:
         if k < B:
             ids = np.concatenate([ids, np.repeat(ids[-1:], B - k, axis=0)])
             rows = np.concatenate([rows, np.repeat(rows[-1:], B - k)])
-        txt = self._ensure_text_step()(exp.params, jnp.asarray(ids))
+        txt = self._ensure_text_step()(self.params, jnp.asarray(ids))
         img = jnp.take(emb_dev, jnp.asarray(rows), axis=0)
         q = jnp.concatenate([img.astype(jnp.float32),
                              txt.astype(jnp.float32)], axis=1)
@@ -352,7 +370,7 @@ class MPRServer:
                     pref_dev, jnp.asarray(rowmap[pad]), axis=0)
             elif needs_image:
                 batch["images"] = np.asarray(images[pad], np.float32)
-            return step(exp.params, exp.device_batch_from(batch)), k
+            return step(self.params, exp.device_batch_from(batch)), k
 
         return self._run_pipeline(
             starts, lambda i, s: dispatch(s, chunk_hints(s)()),
@@ -454,7 +472,7 @@ class MPRServer:
                 {"q_ids": q_ids, "q_len": q_len, "clip_text_ids": cids,
                  "prefix": jnp.take(pref_dev, gather, axis=0),
                  "img_emb": jnp.take(emb_dev, gather, axis=0)})
-            return step(exp.params, batch, index.embeddings,
+            return step(self.params, batch, index.embeddings,
                         index.index_sq, ht.aid, ht.hint_ids,
                         ht.hint_len), k
 
