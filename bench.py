@@ -376,7 +376,8 @@ def run_e2e_int8(args, data_dir: str):
 
     exp = _bench_experiment(args, data_dir, tiny=args.preset == "tiny")
     have_ckpt = os.path.exists(exp.model_path)
-    q_server = MPRServer(exp, load_checkpoint=have_ckpt, quantize="int8",
+    q_server = MPRServer(exp, load_checkpoint=have_ckpt,
+                         quantize=args.int8_mode,
                          pipeline_depth=args.pipeline_depth)
     # params are already loaded into exp by the first server (if at all);
     # the fp server reuses them without reloading
@@ -461,6 +462,9 @@ def main():
                             "device", "train"])
     p.add_argument("--no-int8", action="store_true",
                    help="all: skip the quantized-serving measurement")
+    p.add_argument("--int8-mode", default="int8",
+                   choices=["int8", "int8_all"],
+                   help="e2e_int8: T5-only (retrieval-exact) or +CLIP")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--batch", type=int, default=512)
@@ -475,8 +479,12 @@ def main():
     p.add_argument("--e2e-windows", type=int, default=3,
                    help="steady-state windows; best + median reported")
     p.add_argument("--e2e-images", type=int, default=512)
-    p.add_argument("--pipeline-depth", type=int, default=1,
-                   help="serve chunks allowed in flight (MPRServer)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="serve chunks allowed in flight (MPRServer). "
+                        "Swept on-chip 2026-08: depth 2 beats 1 by +41%% "
+                        "on the trained path (9,804 vs 6,957 QA/s — the "
+                        "~26 ms per-fetch tunnel RT stalls depth 1); "
+                        "depth 3 regresses (8,746)")
     p.add_argument("--train-batch", type=int, default=128)
     p.add_argument("--train-iters", type=int, default=30)
     p.add_argument("--train-epochs", type=int, default=8,
