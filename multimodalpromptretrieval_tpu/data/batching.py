@@ -42,6 +42,22 @@ def pad_ids(rows: Sequence[Sequence[int]], width: int, pad_id: int = 0):
     return ids, mask
 
 
+def pad_rows(mat: np.ndarray, lens: np.ndarray, width: int,
+             pad_id: int = 0):
+    """:func:`pad_ids` for pre-batched rows — the ``(N, W0) ids +
+    lengths`` shape tokenizer ``encode_rows`` produces. Pure numpy (no
+    per-row Python loop: the serving host path pads 512 rows per chunk).
+    """
+    B = mat.shape[0]
+    ids = np.full((B, width), pad_id, np.int32)
+    w = min(width, mat.shape[1])
+    ids[:, :w] = mat[:, :w]
+    mask = (np.arange(width)[None, :]
+            < np.minimum(lens, width)[:, None]).astype(np.int32)
+    ids[mask == 0] = pad_id
+    return ids, mask
+
+
 @_lru_cache(maxsize=None)
 def _head_jit(n: int):
     """Cached jitted leading-row slice (multi-host staging: eager slices

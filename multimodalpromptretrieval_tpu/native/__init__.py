@@ -77,6 +77,12 @@ def get_library():
             lib.mpr_spm_encode.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.mpr_spm_encode_batch.restype = None
+            lib.mpr_spm_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.mpr_bpe_create.restype = ctypes.c_void_p
             lib.mpr_bpe_create.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -87,6 +93,12 @@ def get_library():
             lib.mpr_bpe_encode.restype = ctypes.c_int32
             lib.mpr_bpe_encode.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.mpr_bpe_encode_batch.restype = None
+            lib.mpr_bpe_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             _lib = lib
         except Exception:
@@ -173,6 +185,30 @@ class NativeViterbi:
         cnt = self._lib.mpr_spm_encode(self._handle, data, out, len(out))
         return list(out[:cnt])
 
+    def encode_batch(self, normalized: Sequence[str]):
+        """Encode N pre-normalized strings in ONE native call.
+
+        Returns ``(ids, lens)`` — ids row-major int32 (N, cap) numpy,
+        ``lens[i]`` valid ids in row i. Rows are bit-identical to
+        :meth:`encode`. The batch entry exists because the serving host
+        path tokenizes a full chunk (512 prompts) at once and the
+        per-call ctypes + list-building overhead dominates there."""
+        import numpy as np
+
+        blobs = [t.encode() for t in normalized]
+        n = len(blobs)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        cap = int(max((len(b) for b in blobs), default=0)) + 1
+        ids = np.empty((n, cap), np.int32)
+        lens = np.empty(n, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.mpr_spm_encode_batch(
+            self._handle, b"".join(blobs),
+            offsets.ctypes.data_as(i32p), n,
+            ids.ctypes.data_as(i32p), lens.ctypes.data_as(i32p), cap)
+        return ids, lens
+
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:
             self._lib.mpr_spm_free(self._handle)
@@ -223,6 +259,31 @@ class NativeBPE:
         if cnt < 0:
             return None
         return list(self._out[:cnt])
+
+    def encode_batch(self, texts: Sequence[str], cap: int = 256):
+        """Encode N strings in ONE native call -> (ids (N, cap) int32,
+        lens); ``lens[i] == -1`` marks a row needing the exact Python
+        fallback (non-ASCII, '&', special literals, vocab miss — the
+        caller re-encodes just those rows)."""
+        import numpy as np
+
+        blobs = []
+        for t in texts:
+            try:
+                blobs.append(t.encode())
+            except UnicodeEncodeError:  # lone surrogates: Python path
+                blobs.append(b"&")  # forces a -1 fallback for this row
+        n = len(blobs)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        ids = np.empty((n, cap), np.int32)
+        lens = np.empty(n, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.mpr_bpe_encode_batch(
+            self._handle, b"".join(blobs),
+            offsets.ctypes.data_as(i32p), n,
+            ids.ctypes.data_as(i32p), lens.ctypes.data_as(i32p), cap)
+        return ids, lens
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:

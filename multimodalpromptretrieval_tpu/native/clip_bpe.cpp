@@ -121,13 +121,36 @@ void mpr_bpe_free(void* handle) { delete static_cast<BPE*>(handle); }
 
 // Returns the id count, or -1 when the input needs the Python fallback
 // (non-ASCII, '&', a special-token literal, or a toy-vocab miss).
+static int32_t bpe_encode_span(BPE* h, const char* text, int32_t n_bytes,
+                               int32_t* out, int32_t cap);
+
 int32_t mpr_bpe_encode(void* handle, const char* text, int32_t* out,
                        int32_t cap) {
+  return bpe_encode_span(static_cast<BPE*>(handle), text,
+                         (int32_t)strlen(text), out, cap);
+}
+
+// Batch entry (see mpr_spm_encode_batch): n strings -> row-major (n, cap)
+// int32 matrix + per-row counts; lens[i] == -1 marks a row that needs the
+// exact Python fallback (the caller re-encodes just those rows).
+void mpr_bpe_encode_batch(void* handle, const char* texts,
+                          const int32_t* offsets, int32_t n, int32_t* out,
+                          int32_t* lens, int32_t cap) {
   BPE* h = static_cast<BPE*>(handle);
+  for (int32_t i = 0; i < n; ++i)
+    lens[i] = bpe_encode_span(h, texts + offsets[i],
+                              offsets[i + 1] - offsets[i],
+                              out + (int64_t)i * cap, cap);
+}
+
+static int32_t bpe_encode_span(BPE* h, const char* text, int32_t n_bytes,
+                               int32_t* out, int32_t cap) {
   // reject anything the ASCII fast path cannot reproduce exactly
   std::string s;
-  for (const unsigned char* p = (const unsigned char*)text; *p; ++p) {
-    if (*p >= 128 || *p == '&') return -1;
+  s.reserve(n_bytes);
+  for (const unsigned char* p = (const unsigned char*)text,
+                          * e = p + n_bytes; p < e; ++p) {
+    if (*p >= 128 || *p == '&' || *p == 0) return -1;
     s.push_back((char)std::tolower(*p));
   }
   if (s.find("<|") != std::string::npos) return -1;  // special literals

@@ -83,10 +83,34 @@ void* mpr_spm_create(const char* pieces, const int32_t* offsets,
 void mpr_spm_free(void* handle) { delete (Model*)handle; }
 
 // Viterbi over char starts; returns number of ids written (<= max_out).
+static int32_t spm_encode_span(const Model* m, const char* text, int n,
+                               int32_t* out, int32_t max_out);
+
 int32_t mpr_spm_encode(void* handle, const char* text, int32_t* out,
                        int32_t max_out) {
+  return spm_encode_span((const Model*)handle, text, (int)strlen(text),
+                         out, max_out);
+}
+
+// Batch entry: encode n strings in ONE call, writing straight into a
+// caller-owned row-major (n, cap) int32 matrix — the serving host path
+// tokenizes 512 prompts per chunk, and the per-call ctypes + Python
+// list-building overhead of the single-string entry dominates there
+// (measured ~2x the DP itself). texts: concatenated UTF-8 bytes (not
+// nul-terminated); offsets: n+1 byte offsets; lens[i] = ids written for
+// row i. Bit-identical rows to mpr_spm_encode.
+void mpr_spm_encode_batch(void* handle, const char* texts,
+                          const int32_t* offsets, int32_t n, int32_t* out,
+                          int32_t* lens, int32_t cap) {
   const Model* m = (const Model*)handle;
-  const int n = (int)strlen(text);
+  for (int32_t i = 0; i < n; ++i)
+    lens[i] = spm_encode_span(m, texts + offsets[i],
+                              offsets[i + 1] - offsets[i],
+                              out + (int64_t)i * cap, cap);
+}
+
+static int32_t spm_encode_span(const Model* m, const char* text, int n,
+                               int32_t* out, int32_t max_out) {
   if (n == 0) return 0;
   const float NEG = -std::numeric_limits<float>::infinity();
   std::vector<float> best(n + 1, NEG);

@@ -274,7 +274,7 @@ class MPRServer:
         """
         from multimodalpromptretrieval_tpu.data.batching import (
             bucket_width,
-            pad_ids,
+            pad_rows,
         )
         from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
 
@@ -349,19 +349,19 @@ class MPRServer:
                 idx_np[s:s + B], use_quantifier=exp.use_quantifier)
 
         def dispatch(s: int, chunk_h: List[str]):
-            chunk = [
-                exp.tokenizer.encode(
-                    f"Answer the {t} question: " + q + h,
-                    max_length=mcfg.max_source_length)
-                for q, t, h in zip(questions[s:s + B], tasks[s:s + B],
-                                   chunk_h)
-            ]
-            k = len(chunk)
+            texts = [f"Answer the {t} question: " + q + h
+                     for q, t, h in zip(questions[s:s + B],
+                                        tasks[s:s + B], chunk_h)]
+            # one native call tokenizes the whole chunk (spm.encode_rows)
+            rows, lens = exp.tokenizer.encode_rows(
+                texts, max_length=mcfg.max_source_length)
+            k = len(texts)
             pad = list(range(s, s + k)) + [s + k - 1] * (B - k)
-            chunk = chunk + [chunk[-1]] * (B - k)
-            width = bucket_width(max(len(r) for r in chunk),
+            sel = np.asarray(pad) - s  # fill rows repeat the last row
+            rows, lens = rows[sel], lens[sel]
+            width = bucket_width(int(lens.max()),
                                  32, exp.model_cfg.max_source_length)
-            ids, mask = pad_ids(chunk, width)
+            ids, mask = pad_rows(rows, lens, width)
             batch = {"input_ids": ids, "text_mask": mask}
             if use_prefix:
                 # device-side gather from the prefix table — prefixes
@@ -421,7 +421,7 @@ class MPRServer:
         checked boundary safety; tests/test_serve_fastpath.py)."""
         from multimodalpromptretrieval_tpu.data.batching import (
             bucket_width,
-            pad_ids,
+            pad_rows,
         )
         from multimodalpromptretrieval_tpu.models.clip import (
             truncate_text_ids,
@@ -451,17 +451,18 @@ class MPRServer:
         step = self._fused_predict
 
         def dispatch(s: int):
-            rows = [exp.tokenizer.encode(p, add_eos=False)
-                    for p in prompts[s:s + B]]
-            k = len(rows)
+            # one native call tokenizes the whole chunk (spm.encode_rows)
+            rows, lens = exp.tokenizer.encode_rows(
+                prompts[s:s + B], add_eos=False)
+            k = rows.shape[0]
             pad = list(range(s, s + k)) + [s + k - 1] * (B - k)
-            rows = rows + [rows[-1]] * (B - k)
+            sel = np.asarray(pad) - s  # fill rows repeat the last row
+            rows, lens = rows[sel], lens[sel]
             width = bucket_width(
-                max(len(r) for r in rows) + ht.max_hint_len + 1,
+                int(lens.max()) + ht.max_hint_len + 1,
                 32, mcfg.max_source_length)
-            q_ids, _ = pad_ids(rows, width)
-            q_len = np.asarray([min(len(r), width) for r in rows],
-                               np.int32)
+            q_ids, _ = pad_rows(rows, lens, width)
+            q_len = np.minimum(lens, width).astype(np.int32)
             cids = truncate_text_ids(
                 exp.clip_tokenizer.tokenize(list(questions[s:s + B])))
             if k < B:

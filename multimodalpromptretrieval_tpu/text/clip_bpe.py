@@ -168,18 +168,45 @@ class CLIPBPETokenizer:
 
     def tokenize(self, texts: Sequence[str] | str,
                  truncate: bool = True) -> np.ndarray:
-        """clip.tokenize parity: (B, context_length) int32, SOT ... EOT 0 0."""
+        """clip.tokenize parity: (B, context_length) int32, SOT ... EOT 0 0.
+
+        Batch fast path: ONE native call encodes every ASCII row
+        (mpr_bpe_encode_batch fills a numpy matrix directly); rows the
+        native encoder rejects (lens[i] == -1: non-ASCII, '&', special
+        literals) fall back to the exact per-row path. Frames are
+        identical either way."""
         if isinstance(texts, str):
             texts = [texts]
-        result = np.zeros((len(texts), self.context_length), np.int32)
+        n = len(texts)
+        L = self.context_length
+        result = np.zeros((n, L), np.int32)
+        lens = None
+        if n > 1 and self._native.available:
+            try:
+                mat, lens = self._native.encode_batch(texts, cap=L + 8)
+            except Exception:
+                lens = None
+        if lens is not None and (lens >= 0).all() \
+                and int(lens.max(initial=0)) <= L - 2:
+            # every row native and in-frame: pure numpy assembly
+            m = int(lens.max(initial=0))
+            if m:
+                valid = np.arange(m)[None, :] < lens[:, None]
+                result[:, 1:1 + m] = np.where(valid, mat[:, :m], 0)
+            result[:, 0] = self.sot
+            result[np.arange(n), lens + 1] = self.eot
+            return result
         for i, text in enumerate(texts):
-            toks = [self.sot] + self.encode(text) + [self.eot]
-            if len(toks) > self.context_length:
+            if lens is not None and lens[i] >= 0:
+                toks = [self.sot] + mat[i, :lens[i]].tolist() + [self.eot]
+            else:
+                toks = [self.sot] + self.encode(text) + [self.eot]
+            if len(toks) > L:
                 if not truncate:
                     raise RuntimeError(
                         f"Input {text!r} is too long for context length "
-                        f"{self.context_length}")
-                toks = toks[:self.context_length]
+                        f"{L}")
+                toks = toks[:L]
                 toks[-1] = self.eot
             result[i, :len(toks)] = toks
         return result

@@ -309,6 +309,8 @@ class T5SentencePieceTokenizer:
                 added += 1
         if added and hasattr(self, "_bigrams"):
             del self._bigrams  # boundary_safe must see the new tokens
+        if added:
+            self._surface_tables = None  # decode tables must see them too
         return added
 
     def convert_tokens_to_ids(self, token: str) -> int:
@@ -475,6 +477,71 @@ class T5SentencePieceTokenizer:
             yield hit, self.added[hit]
             rest = rest[pos + len(hit):]
 
+    def encode_rows(self, texts: Sequence[str], add_eos: bool = True,
+                    max_length: Optional[int] = None):
+        """Batch tokenize -> ``(ids, lens)``: int32 (N, W) padded with
+        pad_id to the batch longest, int32 (N,) valid counts. Rows are
+        identical to :meth:`encode` (same added-token splitting, EOS and
+        EOS-preserving truncation rules).
+
+        Fast path: ONE native call encodes every row with no added
+        tokens (``mpr_spm_encode_batch`` writes straight into the numpy
+        matrix — the serving host path tokenizes 512 prompts per chunk,
+        where per-call ctypes + list building cost ~2x the Viterbi DP
+        itself). Rows containing added tokens, and everything when the
+        native library is unavailable, go through :meth:`encode`.
+        """
+        import numpy as np
+
+        n = len(texts)
+        fallback: dict = {}
+        norms: List[str] = []
+        if self._native is not None:
+            for i, t in enumerate(texts):
+                parts = list(self._split_added(t)) if self.added else \
+                    [(t, None)]
+                if len(parts) == 1 and parts[0][1] is None:
+                    norms.append(normalize(parts[0][0]))
+                else:
+                    norms.append("")
+                    fallback[i] = self.encode(t, add_eos=add_eos,
+                                              max_length=max_length)
+        else:
+            for i, t in enumerate(texts):
+                fallback[i] = self.encode(t, add_eos=add_eos,
+                                          max_length=max_length)
+            norms = [""] * n
+        if len(fallback) < n:
+            mat, lens = self._native.encode_batch(norms)
+        else:
+            mat = np.zeros((n, 1), np.int32)
+            lens = np.zeros(n, np.int32)
+        lens = lens.astype(np.int32)
+        if add_eos:
+            # append EOS: grow one column if any full row needs it
+            if mat.shape[1] < int(lens.max(initial=0)) + 1:
+                mat = np.pad(mat, ((0, 0), (0, 1)))
+            mat[np.arange(n), lens] = self.eos_id
+            lens = lens + 1
+        if max_length is not None:
+            over = lens > max_length
+            if add_eos and over.any():
+                # HF truncation: drop CONTENT ids, keep the trailing EOS
+                mat[over, max_length - 1] = self.eos_id
+            lens = np.minimum(lens, max_length)
+        width = max(int(lens.max(initial=0)), 1)
+        for i, row in fallback.items():
+            width = max(width, len(row))
+        if mat.shape[1] < width:
+            mat = np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
+        ids = mat[:, :width].copy()
+        for i, row in fallback.items():
+            ids[i, :len(row)] = row
+            lens[i] = len(row)
+        # pad tail with pad_id
+        ids[np.arange(width)[None, :] >= lens[:, None]] = self.pad_id
+        return ids, lens
+
     def batch_encode(self, texts: Sequence[str], max_length: int,
                      pad_to: Optional[int] = None):
         """Returns (ids, mask) as int32 numpy arrays.
@@ -484,36 +551,57 @@ class T5SentencePieceTokenizer:
         """
         import numpy as np
 
-        encoded = [self.encode(t, max_length=max_length) for t in texts]
-        width = pad_to if pad_to is not None else max(
-            (len(e) for e in encoded), default=1)
-        ids = np.full((len(texts), width), self.pad_id, np.int32)
-        mask = np.zeros((len(texts), width), np.int32)
-        for i, e in enumerate(encoded):
-            e = e[:width]
-            ids[i, :len(e)] = e
-            mask[i, :len(e)] = 1
+        rows, lens = self.encode_rows(texts, max_length=max_length)
+        width = pad_to if pad_to is not None else max(int(
+            lens.max(initial=1)), 1)
+        n = len(texts)
+        ids = np.full((n, width), self.pad_id, np.int32)
+        w = min(width, rows.shape[1])
+        ids[:, :w] = rows[:, :w]
+        mask = (np.arange(width)[None, :]
+                < np.minimum(lens, width)[:, None]).astype(np.int32)
+        ids[mask == 0] = self.pad_id
         return ids, mask
+
+    def _id_surface(self, i: int, skip_special_tokens: bool) -> str:
+        """Decoded surface of one id ('' when skipped) — the per-id
+        branch of the original decode loop, kept as the single source of
+        truth for the precomputed table below."""
+        if i in self._added_rev:
+            tok = self._added_rev[i]
+            if skip_special_tokens and tok.startswith("<extra_id_"):
+                return ""
+            return tok
+        if i >= self.base_size or i < 0:
+            return ""
+        piece, _, ptype = self.vocab.pieces[i]
+        if skip_special_tokens and ptype in (PIECE_CONTROL, PIECE_UNKNOWN):
+            return ""
+        return piece
+
+    def _surface_table(self, skip_special_tokens: bool) -> List[str]:
+        """id -> surface string lookup list (lazily built per flag;
+        invalidated by add_tokens). Decoding a 512-row serve chunk
+        through per-id dict checks cost ~11 ms/chunk on the host path —
+        a flat list index is ~5x cheaper."""
+        tables = getattr(self, "_surface_tables", None)
+        if tables is None:
+            tables = self._surface_tables = {}
+        key = bool(skip_special_tokens)
+        if key not in tables:
+            size = max([self.base_size + self.extra_ids]
+                       + [i + 1 for i in self._added_rev])
+            tables[key] = [self._id_surface(i, key) for i in range(size)]
+        return tables[key]
 
     def decode(self, ids: Iterable[int], skip_special_tokens: bool = True
                ) -> str:
-        parts: List[str] = []
-        for i in ids:
-            i = int(i)
-            if i in self._added_rev:
-                tok = self._added_rev[i]
-                if skip_special_tokens and tok.startswith("<extra_id_"):
-                    continue
-                parts.append(tok)
-                continue
-            if i >= self.base_size:
-                continue
-            piece, _, ptype = self.vocab.pieces[i]
-            if skip_special_tokens and ptype in (PIECE_CONTROL, PIECE_UNKNOWN):
-                continue
-            parts.append(piece)
-        text = "".join(parts).replace(_SPACE, " ")
-        return text.strip()
+        table = self._surface_table(skip_special_tokens)
+        size = len(table)
+        if hasattr(ids, "tolist"):
+            ids = ids.tolist()
+        text = "".join([table[i] for i in ids if 0 <= i < size])
+        return text.replace(_SPACE, " ").strip()
 
     def batch_decode(self, batch_ids, skip_special_tokens: bool = True
                      ) -> List[str]:
