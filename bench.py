@@ -215,6 +215,7 @@ def _bench_experiment(args, data_dir: str, tiny: bool):
         # and the T5 encoder (17.6 vs 19.6 ms) too (scripts/
         # bench_components.py, 30 iters; parity: tests/test_clip_parity,
         # tests/test_t5_parity)
+        cfg["T5_version"] = getattr(args, "t5_version", "t5-small")
         cfg["t5_overrides"] = {"attention_impl": "row"}
         cfg["clip_overrides"] = {"attention_impl": "row"}
         cfg["compute_dtype"] = ("bfloat16" if args.dtype == "bf16"
@@ -465,6 +466,12 @@ def main():
     p.add_argument("--int8-mode", default="int8",
                    choices=["int8", "int8_all"],
                    help="e2e_int8: T5-only (retrieval-exact) or +CLIP")
+    p.add_argument("--t5-version", default="t5-small",
+                   choices=["t5-small", "t5-base", "t5-large"],
+                   help="full preset T5 size (t5-large engages the "
+                        "512->1024 visual projection; use a smaller "
+                        "--batch: the cross-KV caches scale with "
+                        "layers*d_model)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--batch", type=int, default=512)

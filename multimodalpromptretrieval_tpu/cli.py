@@ -24,6 +24,19 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true")
     p.add_argument("--test", help="test a model", action="store_true")
     p.add_argument("--eval", help="evaluate a model", action="store_true")
+    p.add_argument("--serve", action="store_true",
+                   help="answer JSONL requests from stdin (or --requests): "
+                        'one object per line {"question": ..., "task": '
+                        '"open", "image_name": <name in the dataset image '
+                        'cache> | "image": <image file path>}; answers '
+                        'stream to stdout as {"answer": ...} in order')
+    p.add_argument("--requests",
+                   help="serve: read requests from this JSONL file "
+                        "instead of stdin")
+    p.add_argument("--quantize", choices=["int8", "int8_all"],
+                   help="serve with int8 W8A8 quantized weights "
+                        "(ops/quant; 'int8' keeps retrieval ranks "
+                        "fp-identical)")
     p.add_argument("--config", help="config file name in the config folder")
     p.add_argument("--gpu_id", help="ignored (TPU mesh is auto-discovered)")
     p.add_argument("--model_file",
@@ -42,6 +55,87 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_id", type=int,
                    help="this process's rank in the multi-host job")
     return p
+
+
+def serve_stream(exp, stream, out, quantize=None) -> int:
+    """Drive :class:`serve.MPRServer` over a JSONL request stream.
+
+    Each input line is one request: ``{"question": str, "task": str
+    (default "open"), "image_name": <name in the dataset's preprocessed
+    image cache> | "image": <path to an image file>}``. Answers stream
+    to ``out`` as ``{"answer": str}`` lines in request order. Requests
+    are batched to the experiment's batch size and pipelined
+    (submit/result), so a long stream runs at the benchmarked serving
+    throughput. Returns the number of requests answered.
+
+    The reference has no serving surface (its only entry point is batch
+    evaluation, main.py --test); this is framework-native.
+    """
+    import json as _json
+
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.serve import MPRServer
+
+    server = MPRServer(exp, quantize=quantize, pipeline_depth=2)
+    size = exp.model_cfg.clip.image_resolution
+    path_cache: dict = {}
+
+    def resolve(req):
+        name = req.get("image_name")
+        if name is not None:
+            return name, exp.images[name]
+        path = req.get("image")
+        if path is None:
+            raise ValueError("request needs 'image_name' or 'image'")
+        if path not in path_cache:
+            from PIL import Image
+
+            from multimodalpromptretrieval_tpu.ops.image import (
+                preprocess_pil_images,
+            )
+
+            with Image.open(path) as im:
+                if im.mode != "RGB":
+                    im = im.convert("RGB")
+                path_cache[path] = preprocess_pil_images(
+                    [im.copy()], size=size)[0]
+        return path, path_cache[path]
+
+    B = exp.batch_size
+    pending: list = []
+    total = 0
+
+    def emit(handle):
+        nonlocal total
+        for a in handle.result():
+            out.write(_json.dumps({"answer": a}) + "\n")
+            total += 1
+        out.flush()
+
+    buf: list = []
+    for line in stream:
+        line = line.strip()
+        if not line:
+            continue
+        buf.append(_json.loads(line))
+        if len(buf) < B:
+            continue
+        ids, imgs = zip(*[resolve(r) for r in buf])
+        pending.append(server.submit(
+            np.stack(imgs), [r["question"] for r in buf],
+            [r.get("task", "open") for r in buf], image_ids=list(ids)))
+        buf = []
+        while len(pending) > 1:  # keep one request in flight
+            emit(pending.pop(0))
+    if buf:
+        ids, imgs = zip(*[resolve(r) for r in buf])
+        pending.append(server.submit(
+            np.stack(imgs), [r["question"] for r in buf],
+            [r.get("task", "open") for r in buf], image_ids=list(ids)))
+    for h in pending:
+        emit(h)
+    return total
 
 
 def main(argv=None) -> None:
@@ -67,6 +161,15 @@ def main(argv=None) -> None:
         exp.train(resume=args.resume)
     if args.test:
         exp.test()
+    if args.serve:
+        import sys
+
+        stream = open(args.requests) if args.requests else sys.stdin
+        try:
+            serve_stream(exp, stream, sys.stdout, quantize=args.quantize)
+        finally:
+            if args.requests:
+                stream.close()
     if args.eval:
         import os
 
