@@ -371,7 +371,7 @@ def run_e2e_int8(args, data_dir: str):
     meaningful agreement measurement), random init otherwise."""
     import os
 
-    import numpy as np  # noqa: F401  (parity with sibling runners)
+    import numpy as np
 
     from multimodalpromptretrieval_tpu.serve import MPRServer
 
@@ -386,9 +386,7 @@ def run_e2e_int8(args, data_dir: str):
                           pipeline_depth=args.pipeline_depth)
 
     entries = exp.dataset_test.entries
-    import numpy as _np
-
-    images = _np.stack([exp.images[e["image_name"]] for e in entries])
+    images = np.stack([exp.images[e["image_name"]] for e in entries])
     questions = [e["question"] for e in entries]
     tasks = [e["task"] for e in entries]
     ids = [e["image_name"] for e in entries]

@@ -100,6 +100,11 @@ def serve_stream(exp, stream, out, quantize=None) -> int:
                     im = im.convert("RGB")
                 path_cache[path] = preprocess_pil_images(
                     [im.copy()], size=size)[0]
+            # bounded: a long-running stream over many distinct files
+            # would otherwise accumulate preprocessed arrays (~600 KB
+            # each at 224px) for the life of the process
+            while len(path_cache) > 4096:
+                path_cache.pop(next(iter(path_cache)))
         return path, path_cache[path]
 
     B = exp.batch_size

@@ -57,53 +57,73 @@ def get_library():
         path = build_library()
         if path is None:
             return None
-        try:
-            lib = ctypes.CDLL(path)
-            lib.mpr_ratio.restype = ctypes.c_double
-            lib.mpr_ratio.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-            lib.mpr_closest_index.restype = ctypes.c_int32
-            lib.mpr_closest_index.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int32]
-            lib.mpr_spm_create.restype = ctypes.c_void_p
-            lib.mpr_spm_create.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-                ctypes.c_float]
-            lib.mpr_spm_free.restype = None
-            lib.mpr_spm_free.argtypes = [ctypes.c_void_p]
-            lib.mpr_spm_encode.restype = ctypes.c_int32
-            lib.mpr_spm_encode.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-            lib.mpr_spm_encode_batch.restype = None
-            lib.mpr_spm_encode_batch.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-            lib.mpr_bpe_create.restype = ctypes.c_void_p
-            lib.mpr_bpe_create.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int32, ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-            lib.mpr_bpe_free.restype = None
-            lib.mpr_bpe_free.argtypes = [ctypes.c_void_p]
-            lib.mpr_bpe_encode.restype = ctypes.c_int32
-            lib.mpr_bpe_encode.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-            lib.mpr_bpe_encode_batch.restype = None
-            lib.mpr_bpe_encode_batch.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-            _lib = lib
-        except Exception:
-            _lib = None
+        for attempt in range(2):
+            if _try_load(path) or attempt:
+                break
+            # a stale .so (e.g. restored with equal mtimes by a checkout)
+            # can predate newer entry points: force one rebuild and retry
+            path = build_library(force=True)
+            if path is None:
+                break
         return _lib
+
+
+def _try_load(path) -> bool:
+    """Load ``path`` and bind every entry point; on any failure (missing
+    symbol from a stale build, bad binary) leave ``_lib`` None and report
+    False so get_library can rebuild."""
+    global _lib
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mpr_ratio.restype = ctypes.c_double
+        lib.mpr_ratio.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.mpr_closest_index.restype = ctypes.c_int32
+        lib.mpr_closest_index.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32]
+        lib.mpr_spm_create.restype = ctypes.c_void_p
+        lib.mpr_spm_create.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_float]
+        lib.mpr_spm_free.restype = None
+        lib.mpr_spm_free.argtypes = [ctypes.c_void_p]
+        lib.mpr_spm_encode.restype = ctypes.c_int32
+        lib.mpr_spm_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mpr_spm_encode_batch.restype = None
+        lib.mpr_spm_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mpr_spm_encode_span.restype = ctypes.c_int32
+        lib.mpr_spm_encode_span.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mpr_bpe_create.restype = ctypes.c_void_p
+        lib.mpr_bpe_create.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mpr_bpe_free.restype = None
+        lib.mpr_bpe_free.argtypes = [ctypes.c_void_p]
+        lib.mpr_bpe_encode.restype = ctypes.c_int32
+        lib.mpr_bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mpr_bpe_encode_batch.restype = None
+        lib.mpr_bpe_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib is not None
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +202,11 @@ class NativeViterbi:
             out = self._out
         else:
             out = (ctypes.c_int32 * (len(data) + 1))()
-        cnt = self._lib.mpr_spm_encode(self._handle, data, out, len(out))
+        # span entry (explicit length): embedded NUL bytes must tokenize
+        # like the pure-Python Viterbi, not truncate at the NUL —
+        # encode() and encode_batch() stay bit-identical for any input
+        cnt = self._lib.mpr_spm_encode_span(self._handle, data, len(data),
+                                            out, len(out))
         return list(out[:cnt])
 
     def encode_batch(self, normalized: Sequence[str]):

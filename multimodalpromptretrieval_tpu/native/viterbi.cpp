@@ -92,6 +92,14 @@ int32_t mpr_spm_encode(void* handle, const char* text, int32_t* out,
                          out, max_out);
 }
 
+// Length-explicit single-string entry: unlike mpr_spm_encode (strlen),
+// this handles embedded NUL bytes, keeping encode() == encode_rows()
+// for any input (the batch entry below is span-based too).
+int32_t mpr_spm_encode_span(void* handle, const char* text, int32_t n,
+                            int32_t* out, int32_t max_out) {
+  return spm_encode_span((const Model*)handle, text, n, out, max_out);
+}
+
 // Batch entry: encode n strings in ONE call, writing straight into a
 // caller-owned row-major (n, cap) int32 matrix — the serving host path
 // tokenizes 512 prompts per chunk, and the per-call ctypes + Python

@@ -138,7 +138,10 @@ class MPRServer:
         if exp.retrieval_index is None:
             return ["" for _ in questions]
         ids = exp.clip_tokenizer.tokenize(list(questions))
-        q = self._embed(images, ids)
+        # the serving params' CLIP subtree — identical to the master copy
+        # except under quantize="int8_all" (the host retrieval path must
+        # embed with the same tower the prefix/fused paths use)
+        q = self._embed(images, ids, params=self.params["clip"])
         return exp.retrieval_index.retrieve(
             jnp.asarray(q), use_quantifier=exp.use_quantifier, k=exp.k)
 

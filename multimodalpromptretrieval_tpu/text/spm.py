@@ -549,19 +549,14 @@ class T5SentencePieceTokenizer:
         ``pad_to=None`` pads to the batch longest (HF padding="longest");
         a fixed ``pad_to`` gives XLA static shapes (bucketed batching).
         """
-        import numpy as np
+        from multimodalpromptretrieval_tpu.data.batching import pad_rows
 
         rows, lens = self.encode_rows(texts, max_length=max_length)
         width = pad_to if pad_to is not None else max(int(
             lens.max(initial=1)), 1)
-        n = len(texts)
-        ids = np.full((n, width), self.pad_id, np.int32)
-        w = min(width, rows.shape[1])
-        ids[:, :w] = rows[:, :w]
-        mask = (np.arange(width)[None, :]
-                < np.minimum(lens, width)[:, None]).astype(np.int32)
-        ids[mask == 0] = self.pad_id
-        return ids, mask
+        # the reference pipeline pads with 0 (HF pad token for T5);
+        # masked positions never reach the model either way
+        return pad_rows(rows, lens, width, pad_id=self.pad_id)
 
     def _id_surface(self, i: int, skip_special_tokens: bool) -> str:
         """Decoded surface of one id ('' when skipped) — the per-id

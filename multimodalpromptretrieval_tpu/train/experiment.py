@@ -392,12 +392,14 @@ class Experiment:
             txt = clip_encode_text(params, cfg, text_ids)
             return jnp.concatenate([img, txt], axis=1)
 
-        def run(images, text_ids):
+        def run(images, text_ids, params=None):
             # bucketed truncation: bit-identical CLIP text embeddings at a
-            # fraction of the padded-77 cost (models/clip.truncate_text_ids)
+            # fraction of the padded-77 cost (models/clip.truncate_text_ids).
+            # ``params`` overrides the CLIP subtree (MPRServer passes its
+            # quantized copy under quantize="int8_all").
             ids = truncate_text_ids(text_ids)
-            return embed(self.params["clip"], jnp.asarray(images),
-                         jnp.asarray(ids))
+            return embed(self.params["clip"] if params is None else params,
+                         jnp.asarray(images), jnp.asarray(ids))
 
         self._embed_fn = run
         return run

@@ -48,6 +48,22 @@ def test_encode_rows_matches_encode(tok, add_eos, max_length):
         assert (rows[i, lens[i]:] == tok.pad_id).all()
 
 
+def test_nul_byte_encodes_like_python_viterbi(tok):
+    """Embedded NUL bytes must not truncate the native path (the
+    single-string entry now uses the explicit-length span API): encode,
+    encode_rows, and the pure-Python Viterbi all agree."""
+    text = "is this\x00a lung?"
+    native = tok._native
+    try:
+        tok._native = None
+        py = tok.encode(text)
+    finally:
+        tok._native = native
+    assert tok.encode(text) == py
+    rows, lens = tok.encode_rows([text])
+    assert rows[0, :lens[0]].tolist() == py
+
+
 def test_encode_rows_python_fallback_matches(tok):
     """With the native encoder disabled, encode_rows must produce the
     same rows through the pure-Python path."""
