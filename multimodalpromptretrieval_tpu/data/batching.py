@@ -87,11 +87,13 @@ def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
     item), ``upload`` the stack, run ``step`` on it, slice off the pad
     rows, and concatenate each output into a device-resident table.
 
-    ``items`` are unique keys (the caller dedupes). ``step(x)`` returns a
-    device array, or a tuple of ``n_out`` arrays, with leading axis
-    ``batch_size``. ``first_chunk_guard(first_rows) -> True`` aborts
-    (size-cap checks). Returns a tuple of ``n_out`` tables with leading
-    axis ``len(items)``, or None (guard tripped / no items).
+    ``items`` are unique keys (the caller dedupes). ``fetch(item)`` may
+    return a tuple for multi-input encoders (each position is stacked
+    into its own batch array and ``step`` receives the tuple).
+    ``step(x)`` returns a device array, or a tuple of ``n_out`` arrays,
+    with leading axis ``batch_size``. ``first_chunk_guard(first_rows) ->
+    True`` aborts (size-cap checks). Returns a tuple of ``n_out`` tables
+    with leading axis ``len(items)``, or None (guard tripped / no items).
     """
     if not items:
         return None
@@ -122,7 +124,12 @@ def encode_unique_chunks(items: Sequence[Any], fetch, upload, step,
     for s in range(0, len(items), batch_size):
         chunk = list(items[s:s + batch_size])
         padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
-        res = step(upload(np.stack([fetch(it) for it in padded])))
+        fetched = [fetch(it) for it in padded]
+        if isinstance(fetched[0], tuple):
+            x = tuple(np.stack(col) for col in zip(*fetched))
+        else:
+            x = np.stack(fetched)
+        res = step(upload(x))
         if n_out == 1:
             res = (res,)
         for o, r in zip(outs, res):

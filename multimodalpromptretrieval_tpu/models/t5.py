@@ -377,21 +377,28 @@ def t5_encode(
         qkv_w = kconcat(
             [enc["block"]["attn"]["q"], enc["block"]["attn"]["k"],
              enc["block"]["attn"]["v"]], axis=2)  # (Lyrs, D, 3W)
-        for li in range(n_layers):
-            p = jax.tree.map(lambda a: a[li], enc["block"])
-            r1 = r2 = r3 = None
-            if rng is not None:
-                rng, r1, r2, r3 = jax.random.split(rng, 4)
+        def row_layer(x, p, qkv_li, r1, r2, r3):
             h = fused_rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, kslice(qkv_w, li)).reshape(B, L, 3 * W)
+            qkv = dense(h, qkv_li).reshape(B, L, 3 * W)
             o = row_attention_packed(qkv, bias_h, mask,
                                      heads=cfg.num_heads, scale=1.0,
                                      interpret=interpret)
             o = dense(o.reshape(B * L, W), p["attn"]["o"])
             x = x + _dropout(o, rate, r1)
             h = fused_rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-            x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
-                             rate, r3)
+            return x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate,
+                                          rng=r2), rate, r3)
+
+        if cfg.remat:
+            # same flag the scan path honors below: recompute each
+            # layer's activations in backward instead of keeping them
+            row_layer = jax.checkpoint(row_layer)
+        for li in range(n_layers):
+            p = jax.tree.map(lambda a: a[li], enc["block"])
+            r1 = r2 = r3 = None
+            if rng is not None:
+                rng, r1, r2, r3 = jax.random.split(rng, 4)
+            x = row_layer(x, p, kslice(qkv_w, li), r1, r2, r3)
         x = fused_rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
         x = _dropout(x, rate, None if dropout_rng is None
                      else jax.random.fold_in(dropout_rng, 1))

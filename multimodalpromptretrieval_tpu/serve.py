@@ -135,15 +135,30 @@ class MPRServer:
     def _hints(self, images: np.ndarray, questions: Sequence[str]
                ) -> List[str]:
         exp = self.exp
-        if exp.retrieval_index is None:
+        if exp.retrieval_index is None or exp.model_cfg.use_ban:
+            # BAN prompts never carry the retrieval hint (quirk #9; the
+            # reference's BAN prepare_input builds task_prefix + question
+            # only — T5VisionModelPredictionHeadBAN.py:116-139)
             return ["" for _ in questions]
         ids = exp.clip_tokenizer.tokenize(list(questions))
         # the serving params' CLIP subtree — identical to the master copy
         # except under quantize="int8_all" (the host retrieval path must
-        # embed with the same tower the prefix/fused paths use)
-        q = self._embed(images, ids, params=self.params["clip"])
+        # embed with the same tower the prefix/fused paths use). Chunked
+        # to the experiment batch size: one un-chunked jit would compile
+        # per distinct request size and allocate the whole request's ViT
+        # activations at once.
+        from multimodalpromptretrieval_tpu.data.batching import (
+            encode_unique_chunks,
+        )
+
+        out = encode_unique_chunks(
+            list(range(len(questions))),
+            lambda i: (images[i], ids[i]), lambda x: x,
+            lambda x: self._embed(*x, params=self.params["clip"]),
+            exp.batch_size)
         return exp.retrieval_index.retrieve(
-            jnp.asarray(q), use_quantifier=exp.use_quantifier, k=exp.k)
+            jnp.asarray(out[0]), use_quantifier=exp.use_quantifier,
+            k=exp.k)
 
     def _encode_unique(self, images: np.ndarray, image_ids: Sequence):
         """Encode each UNIQUE image once -> (id -> table row,

@@ -200,6 +200,14 @@ class Experiment:
         t5_cfg = T5Config.from_version(cfg.get("T5_version", "t5-small"))
         t5_cfg = self._override_t5(t5_cfg, cfg)
         clip_cfg = self._clip_config(cfg)
+        if len(self.tokenizer) > t5_cfg.vocab_size:
+            # JAX gathers clamp out-of-range ids under jit, so an
+            # oversized tokenizer would silently train on the wrong
+            # embedding rows — fail loudly instead
+            raise ValueError(
+                f"tokenizer has {len(self.tokenizer)} ids but the T5 "
+                f"embedding has only {t5_cfg.vocab_size} rows; raise "
+                "t5_overrides.vocab_size (or shrink the tokenizer corpus)")
 
         merges = cfg.get("clip_bpe")
         if merges and os.path.exists(merges):
@@ -266,6 +274,7 @@ class Experiment:
         self._embed_fn = None  # cached jitted CLIP query embedder
         # (id(dataset), id(params)) -> (n_entries, embeddings)
         self._qemb_cache: Dict[tuple, tuple] = {}
+        self._prefix_step_fn = None
         if cfg.get("retrieval"):
             self._setup_retrieval(train_mode)
 
@@ -483,19 +492,16 @@ class Experiment:
         if hit is not None and hit[0] == len(dataset.entries):
             return hit[1]
         embed = self._clip_embed_fn()
-        out = []
         entries = dataset.entries
-        B = self.batch_size
-        for s in range(0, len(entries), B):
-            chunk = entries[s:s + B]
-            pad = B - len(chunk)
-            chunk_p = chunk + [chunk[-1]] * pad
-            imgs = np.stack([self.images[e["image_name"]] for e in chunk_p])
-            ids = self.clip_tokenizer.tokenize(
-                [e["question"] for e in chunk_p])
-            e_ = np.asarray(embed(imgs, ids))
-            out.append(e_[: len(chunk)])
-        result = np.concatenate(out, axis=0)
+        # batched host tokenize once (native encode path), then the shared
+        # chunk loop pairs each entry's image with its token row
+        ids_all = self.clip_tokenizer.tokenize(
+            [e["question"] for e in entries])
+        out = encode_unique_chunks(
+            list(range(len(entries))),
+            lambda i: (self.images[entries[i]["image_name"]], ids_all[i]),
+            lambda x: x, lambda x: embed(*x), self.batch_size)
+        result = np.asarray(out[0])
         self._qemb_cache[key] = (len(entries), result)
         return result
 
@@ -515,6 +521,13 @@ class Experiment:
 
     def hint_for(self, entry: dict, split_name: str) -> str:
         if self.retrieval_index is None:
+            return ""
+        if self.model_cfg.use_ban:
+            # the reference BAN variant's prepare_input builds
+            # `task_prefix + question` only — it never calls the
+            # retrieval function for the prompt (quirk #9;
+            # T5VisionModelPredictionHeadBAN.py:116-139), even when the
+            # experiment has retrieval on for its diagnostics
             return ""
         return self._hints.get(split_name, {}).get(entry["question_id"], "")
 
@@ -542,6 +555,14 @@ class Experiment:
             cache[key] = ids
         return ids
 
+    def _image_prefix_step(self):
+        # cached like predict_step: a fresh pmesh.make_image_prefix_step
+        # per call would retrace/recompile on every use
+        if self._prefix_step_fn is None:
+            self._prefix_step_fn = pmesh.make_image_prefix_step(
+                self.model_cfg, mesh=self.mesh)
+        return self._prefix_step_fn
+
     def compute_image_prefixes(self, entries) -> Dict[str, np.ndarray]:
         """Visual prefix per unique image (frozen tower ⇒ loop-invariant;
         SLAKE averages ~3 questions per image, so eval recomputes ~1/3 of
@@ -549,18 +570,15 @@ class Experiment:
         seen = set()
         names = [e["image_name"] for e in entries
                  if not (e["image_name"] in seen or seen.add(e["image_name"]))]
-        step = pmesh.make_image_prefix_step(self.model_cfg, mesh=self.mesh)
-        B = self.batch_size
-        table: Dict[str, np.ndarray] = {}
-        for s in range(0, len(names), B):
-            chunk = names[s:s + B]
-            padded = chunk + [chunk[-1]] * (B - len(chunk))
-            imgs = self.device_batch_from(
-                {"x": np.stack([self.images[n] for n in padded])})["x"]
-            out = np.asarray(step(self.params, imgs))
-            for j, n in enumerate(chunk):
-                table[n] = out[j]
-        return table
+        step = self._image_prefix_step()
+        out = encode_unique_chunks(
+            names, lambda n: self.images[n],
+            lambda x: self.device_batch_from({"x": x})["x"],
+            lambda x: step(self.params, x), self.batch_size)
+        if out is None:
+            return {}
+        arr = np.asarray(out[0])
+        return {n: arr[j] for j, n in enumerate(names)}
 
     def build_vision_token_cache(self, *entry_lists) -> bool:
         """Precompute the FROZEN vision trunk once per unique image.
@@ -621,7 +639,7 @@ class Experiment:
         seen: set = set()
         names = [e["image_name"] for e in entries
                  if not (e["image_name"] in seen or seen.add(e["image_name"]))]
-        step = pmesh.make_image_prefix_step(self.model_cfg, mesh=self.mesh)
+        step = self._image_prefix_step()
         np_dt = np.dtype(self.model_cfg.compute_dtype)
         out = encode_unique_chunks(
             names, lambda n: self.images[n].astype(np_dt),

@@ -83,3 +83,28 @@ def test_truncation_to_max_source_length():
                            max_source_length=512)
     assert batches[0].arrays["input_ids"].shape == (1, 512)
     assert batches[0].arrays["text_mask"].sum() == 512
+
+
+def test_encode_unique_chunks_tuple_inputs():
+    """fetch(item) may return a tuple (multi-input encoders like the CLIP
+    image⊕text query embedder): each position is stacked into its own
+    batch array and step receives the tuple."""
+    from multimodalpromptretrieval_tpu.data.batching import (
+        encode_unique_chunks,
+    )
+
+    imgs = np.arange(7 * 3, dtype=np.float32).reshape(7, 3)
+    ids = np.arange(7 * 2, dtype=np.int32).reshape(7, 2)
+    calls = []
+
+    def step(x):
+        a, b = x
+        calls.append((a.shape, b.shape))
+        return a * 2 + b.sum(axis=1, keepdims=True).astype(np.float32)
+
+    out = encode_unique_chunks(
+        list(range(7)), lambda i: (imgs[i], ids[i]), lambda x: x, step,
+        batch_size=3)
+    assert calls == [((3, 3), (3, 2))] * 3
+    want = imgs * 2 + ids.sum(axis=1, keepdims=True).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out[0]), want)

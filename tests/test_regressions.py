@@ -246,3 +246,80 @@ def test_retrieval_diagnostics_stable_across_processes(tmp_path):
     # the gt is the rank-1 answer of each tie: rank-first tie-breaking
     # means it NEVER equals the winner
     assert outs[0] == [0, 0]
+
+
+# -- round-2 review-sweep findings ------------------------------------------
+
+
+def test_image_cache_keyed_by_resolution(synth_root, tmp_path):
+    """images_{split}.npz keyed only by dataroot+split served stale arrays
+    when a later run changed clip_overrides.image_resolution; the cache
+    file is now keyed by resolution too."""
+    from multimodalpromptretrieval_tpu.data.images import ImageCache
+
+    root = os.path.join(synth_root, "SLAKE")
+    entries = [{"image_name": n, "dataroot": root}
+               for n in sorted(os.listdir(os.path.join(root, "imgs")))[:4]]
+    cdir = str(tmp_path / "imgcache")
+    c32 = ImageCache.build(root, entries, "train", size=32, cache_dir=cdir)
+    assert c32[entries[0]["image_name"]].shape[-1] == 32
+    # a second run at a different resolution must NOT get the 32px arrays
+    c16 = ImageCache.build(root, entries, "train", size=16, cache_dir=cdir)
+    assert c16[entries[0]["image_name"]].shape[-1] == 16
+    # and re-loading the original resolution still works (both files live)
+    again = ImageCache.build(root, entries, "train", size=32,
+                             cache_dir=cdir)
+    import numpy as np
+    np.testing.assert_array_equal(again[entries[0]["image_name"]],
+                                  c32[entries[0]["image_name"]])
+
+
+def test_image_cache_extends_for_missing_names(synth_root, tmp_path):
+    """A cache written by a filtered run (train_subset/fewshot) may not
+    cover a later run's entry set: the missing images are built and the
+    file extended instead of KeyError-ing mid-training."""
+    from multimodalpromptretrieval_tpu.data.images import ImageCache
+
+    root = os.path.join(synth_root, "SLAKE")
+    names = sorted(os.listdir(os.path.join(root, "imgs")))[:4]
+    sub = [{"image_name": n, "dataroot": root} for n in names[:2]]
+    full = [{"image_name": n, "dataroot": root} for n in names]
+    cdir = str(tmp_path / "imgcache2")
+    csub = ImageCache.build(root, sub, "train", size=32, cache_dir=cdir)
+    assert len(csub) == 2
+    cfull = ImageCache.build(root, full, "train", size=32, cache_dir=cdir)
+    assert len(cfull) == 4
+    for n in names:
+        assert n in cfull
+    import numpy as np
+    np.testing.assert_array_equal(cfull[names[0]], csub[names[0]])
+
+
+def test_ban_prompt_ignores_retrieval_hint(synth_root, tmp_path):
+    """The reference BAN variant's prepare_input builds task_prefix +
+    question only (T5VisionModelPredictionHeadBAN.py:116-139) — it never
+    splices the retrieval hint even when the experiment has retrieval on."""
+    cfg = _cfg(synth_root, use_prediction_head=1, use_BAN=1, retrieval=1,
+               k=1)
+    cfg["glimpse"] = 10
+    exp = _exp(cfg, str(tmp_path))
+    assert exp.retrieval_index is not None
+    entry = exp.dataset_train.entries[0]
+    # force a non-empty hint into the table: hint_for must still ignore it
+    exp._hints.setdefault("train", {})[entry["question_id"]] = \
+        " context: planted hint."
+    assert exp.hint_for(entry, "train") == ""
+    ids = exp.encode_entry(entry, "train")
+    planted = exp.tokenizer.encode(" context: planted hint.")[:-1]
+    assert not any(ids[i:i + len(planted)] == planted
+                   for i in range(len(ids)))
+
+
+def test_oversized_tokenizer_fails_loudly(synth_root, tmp_path):
+    """JAX gathers clamp out-of-range ids under jit, so a tokenizer larger
+    than the T5 embedding table must raise at construction instead of
+    silently training on the wrong rows."""
+    cfg = _cfg(synth_root)
+    cfg["t5_overrides"] = dict(cfg["t5_overrides"], vocab_size=10)
+    with pytest.raises(ValueError, match="vocab_size"):
+        _exp(cfg, str(tmp_path))

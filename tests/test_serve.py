@@ -146,3 +146,67 @@ def test_pipeline_depth_two_matches_serial(trained):
     h2 = deep.submit(images, questions[:5], tasks[:5], image_ids=ids[:5])
     assert h1.result() == base and h2.result() == base[:5]
     assert deep._queue == []
+
+
+@pytest.fixture(scope="module")
+def classify_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve_cls"))
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=16,
+                             n_validate=8, n_test=8, image_size=32, seed=0)
+    return root
+
+
+def _classify_exp(root, **kw):
+    cfg = synthetic_config(root, batch_size=4, epochs=1, image_size=32,
+                           retrieval=True, k=2)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["clip_overrides"]["patch_size"] = 16
+    cfg["cache_retrieval"] = False
+    cfg.update(kw)
+    return Experiment(cfg, train_mode=True, quiet=True,
+                      log_root=os.path.join(root, "logs"),
+                      model_root=os.path.join(root, "models"))
+
+
+def test_ban_server_prompts_ignore_retrieval(classify_root):
+    """The BAN variant's prompts never carry the retrieval hint (quirk #9,
+    T5VisionModelPredictionHeadBAN.py:116-139): serving with the index
+    present must answer identically to serving without it."""
+    exp = _classify_exp(classify_root, use_prediction_head=1, use_BAN=1,
+                        glimpse=10)
+    entries = (exp.dataset_test.entries * 2)[:5]
+    images = np.stack([exp.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    with_index = MPRServer(exp, load_checkpoint=False).answer(
+        images, questions, tasks)
+    idx = exp.retrieval_index
+    exp.retrieval_index = None
+    try:
+        without = MPRServer(exp, load_checkpoint=False).answer(
+            images, questions, tasks)
+    finally:
+        exp.retrieval_index = idx
+    assert with_index == without
+    assert len(with_index) == 5
+
+
+def test_prediction_head_server_chunked_hints_match_per_chunk(
+        classify_root):
+    """The classify-path _hints embed is chunked to batch_size (one
+    un-chunked jit would recompile per request size and allocate the whole
+    request's ViT activations): a 9-row request (3 chunks at B=4) must
+    answer exactly like three separate aligned requests."""
+    exp = _classify_exp(classify_root, use_prediction_head=1)
+    entries = (exp.dataset_test.entries * 2)[:9]
+    images = np.stack([exp.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    server = MPRServer(exp, load_checkpoint=False)
+    whole = server.answer(images, questions, tasks)
+    parts = []
+    for s in (0, 4, 8):
+        parts += server.answer(images[s:s + 4], questions[s:s + 4],
+                               tasks[s:s + 4])
+    assert whole == parts
+    assert len(whole) == 9

@@ -195,3 +195,25 @@ def test_row_impl_encoder_matches_hf(pair):
     for a, b in zip(jax.tree.leaves(g_row), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_row_impl_encoder_honors_remat():
+    """T5Config(remat=True, attention_impl='row'): the unrolled row path
+    must wrap each layer in jax.checkpoint (activation recompute) and keep
+    loss/grads bit-comparable to the non-remat row path."""
+    import dataclasses
+
+    cfg = jt5.T5Config.tiny()
+    params = jt5.init_t5(jax.random.PRNGKey(1), cfg)
+    cfg_row = dataclasses.replace(cfg, attention_impl="row")
+    cfg_rem = dataclasses.replace(cfg_row, remat=True)
+    embeds, mask, labels = _random_batch(21)
+    args = (jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(labels))
+    loss_plain = float(jt5.t5_loss(params, cfg_row, *args))
+    loss_remat = float(jt5.t5_loss(params, cfg_rem, *args))
+    np.testing.assert_allclose(loss_remat, loss_plain, atol=1e-6)
+    g_plain = jax.grad(lambda p: jt5.t5_loss(p, cfg_row, *args))(params)
+    g_remat = jax.grad(lambda p: jt5.t5_loss(p, cfg_rem, *args))(params)
+    for a, b in zip(jax.tree.leaves(g_remat), jax.tree.leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
