@@ -39,6 +39,12 @@ class TestMetrics:
         self.full_retrieval_reliance_gt = 0
         self.correct_by_retrieved_dist: Dict[float, int] = {}
         self.total_by_retrieved_dist: Dict[float, int] = {}
+        # raw per-entry predictions in evaluation order, keyed like the
+        # VQA-RAD fan-out requires: (question_id, task) -> answer string
+        # (generative) or class id (classification). Not a reference
+        # artifact — used by tests to pin serve answers to test() output
+        # and handy for error analysis.
+        self.predictions: Dict[tuple, object] = {}
 
     # -- per-example updates --------------------------------------------------
 
@@ -53,11 +59,13 @@ class TestMetrics:
                 string_matched = True
         is_correct = (pred_answer.lower() == entry["answer"].lower()
                       or string_matched)
+        self.predictions[(entry["question_id"], entry["task"])] = pred_answer
         self._tally(is_correct, entry)
         return is_correct
 
     def add_classification(self, pred_label: int, entry: dict) -> bool:
         is_correct = pred_label == entry["label"]
+        self.predictions[(entry["question_id"], entry["task"])] = pred_label
         self._tally(is_correct, entry)
         return is_correct
 

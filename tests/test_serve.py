@@ -210,3 +210,21 @@ def test_prediction_head_server_chunked_hints_match_per_chunk(
                                tasks[s:s + 4])
     assert whole == parts
     assert len(whole) == 9
+
+
+def test_server_answers_match_experiment_test_predictions(trained):
+    """Cross-surface invariant: MPRServer.answer on the test split must
+    reproduce Experiment.test()'s raw greedy predictions exactly — same
+    checkpoint, same retrieval hints, same decode. Guards the serve
+    pipeline (prefix staging, chunked retrieval dispatch, fused prompt
+    path) against drifting from the evaluation path."""
+    metrics = trained.test()  # loads the checkpoint into trained.params
+    server = MPRServer(trained)  # re-loads the same checkpoint
+    entries = trained.dataset_test.entries
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    answers = server.answer(images, questions, tasks)
+    want = [metrics.predictions[(e["question_id"], e["task"])]
+            for e in entries]
+    assert answers == want
