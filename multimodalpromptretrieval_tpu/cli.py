@@ -62,11 +62,15 @@ def serve_stream(exp, stream, out, quantize=None) -> int:
 
     Each input line is one request: ``{"question": str, "task": str
     (default "open"), "image_name": <name in the dataset's preprocessed
-    image cache> | "image": <path to an image file>}``. Answers stream
-    to ``out`` as ``{"answer": str}`` lines in request order. Requests
-    are batched to the experiment's batch size and pipelined
-    (submit/result), so a long stream runs at the benchmarked serving
-    throughput. Returns the number of requests answered.
+    image cache> | "image": <path to an image file>}``. Responses stream
+    to ``out`` in request order, one line per request: ``{"answer": str}``
+    on success, ``{"error": str}`` for a request that could not be served
+    (malformed JSON, missing/invalid fields, unknown image_name,
+    unreadable image file). A bad request never takes down the stream or
+    the other requests in its batch. Requests are batched to the
+    experiment's batch size and pipelined (submit/result), so a long
+    stream runs at the benchmarked serving throughput. Returns the number
+    of response lines written (answers + errors).
 
     The reference has no serving surface (its only entry point is batch
     evaluation, main.py --test); this is framework-native.
@@ -107,39 +111,68 @@ def serve_stream(exp, stream, out, quantize=None) -> int:
                 path_cache.pop(next(iter(path_cache)))
         return path, path_cache[path]
 
+    def parse(line: str):
+        """-> ("ok", id, img, question, task) | ("err", message).
+
+        The broad except is deliberate: this is the protocol boundary of
+        a long-running server, and any per-request failure (bad JSON,
+        missing fields, unknown image_name, PIL decode error) must become
+        an in-order {"error": ...} response, not a process crash."""
+        try:
+            req = _json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+            q = req.get("question")
+            if not isinstance(q, str) or not q:
+                raise ValueError("request needs a non-empty string "
+                                 "'question'")
+            task = req.get("task", "open")
+            if not isinstance(task, str):
+                raise ValueError("'task' must be a string")
+            rid, img = resolve(req)
+            return ("ok", rid, img, q, task)
+        except Exception as e:  # noqa: BLE001 — see docstring
+            return ("err", f"{type(e).__name__}: {e}")
+
     B = exp.batch_size
-    pending: list = []
+    pending: list = []  # (AnswerHandle | None, per-row error layout)
     total = 0
 
-    def emit(handle):
+    def emit(handle, layout):
         nonlocal total
-        for a in handle.result():
-            out.write(_json.dumps({"answer": a}) + "\n")
+        answers = iter(handle.result()) if handle is not None else iter(())
+        for err in layout:
+            out.write(_json.dumps({"answer": next(answers)} if err is None
+                                  else {"error": err}) + "\n")
             total += 1
         out.flush()
+
+    def flush(buf):
+        ok = [b for b in buf if b[0] == "ok"]
+        layout = [None if b[0] == "ok" else b[1] for b in buf]
+        h = None
+        if ok:
+            _, ids, imgs, qs, tasks = zip(*ok)
+            h = server.submit(np.stack(imgs), list(qs), list(tasks),
+                              image_ids=list(ids))
+        pending.append((h, layout))
 
     buf: list = []
     for line in stream:
         line = line.strip()
         if not line:
             continue
-        buf.append(_json.loads(line))
+        buf.append(parse(line))
         if len(buf) < B:
             continue
-        ids, imgs = zip(*[resolve(r) for r in buf])
-        pending.append(server.submit(
-            np.stack(imgs), [r["question"] for r in buf],
-            [r.get("task", "open") for r in buf], image_ids=list(ids)))
+        flush(buf)
         buf = []
         while len(pending) > 1:  # keep one request in flight
-            emit(pending.pop(0))
+            emit(*pending.pop(0))
     if buf:
-        ids, imgs = zip(*[resolve(r) for r in buf])
-        pending.append(server.submit(
-            np.stack(imgs), [r["question"] for r in buf],
-            [r.get("task", "open") for r in buf], image_ids=list(ids)))
-    for h in pending:
-        emit(h)
+        flush(buf)
+    for h, layout in pending:
+        emit(h, layout)
     return total
 
 

@@ -90,10 +90,14 @@ def test_serve_stream_int8(exp):
 
 
 def test_serve_stream_rejects_imageless_request(exp):
-    with pytest.raises(ValueError, match="image"):
-        cli.serve_stream(
-            exp, io.StringIO(json.dumps({"question": "?"}) + "\n"),
-            io.StringIO())
+    """A request with neither image_name nor image answers with an
+    in-order error line (fault isolation), not a stream crash."""
+    out = io.StringIO()
+    total = cli.serve_stream(
+        exp, io.StringIO(json.dumps({"question": "?"}) + "\n"), out)
+    assert total == 1
+    (row,) = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert "image" in row["error"]
 
 
 def test_build_parser_has_serve_flags():
@@ -102,3 +106,35 @@ def test_build_parser_has_serve_flags():
                          "--requests", "r.jsonl", "--quantize", "int8"])
     assert args.serve and args.requests == "r.jsonl"
     assert args.quantize == "int8"
+
+
+def test_serve_stream_isolates_bad_requests(exp):
+    """One bad line must produce an in-order {"error": ...} response and
+    leave every valid request's answer unchanged — a production stream
+    can't be taken down by a malformed request."""
+    reqs, entries = _requests(exp, 6)
+    lines = [json.dumps(r) for r in reqs]
+    # inject failures at positions 1, 3, 4: bad JSON, unknown image_name,
+    # missing question (also covers a non-dict JSON value at the end)
+    lines.insert(1, "{not json")
+    lines.insert(3, json.dumps({"question": "q?", "task": "open",
+                                "image_name": "no-such-image.png"}))
+    lines.insert(4, json.dumps({"task": "open",
+                                "image_name": entries[0]["image_name"]}))
+    lines.append("42")
+    out = io.StringIO()
+    total = cli.serve_stream(exp, io.StringIO("\n".join(lines) + "\n"), out)
+    rows = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert total == len(rows) == len(lines)
+    errs = {i for i, r in enumerate(rows) if "error" in r}
+    assert errs == {1, 3, 4, len(lines) - 1}
+    for i in errs:
+        assert isinstance(rows[i]["error"], str) and rows[i]["error"]
+    # valid rows answer exactly like an all-valid stream
+    clean = io.StringIO()
+    cli.serve_stream(
+        exp, io.StringIO("".join(json.dumps(r) + "\n" for r in reqs)),
+        clean)
+    want = [json.loads(x)["answer"] for x in clean.getvalue().splitlines()]
+    got = [r["answer"] for i, r in enumerate(rows) if i not in errs]
+    assert got == want
