@@ -222,9 +222,15 @@ def _bench_experiment(args, data_dir: str, tiny: bool):
                                 else "float32")
     else:
         cfg["clip_overrides"]["image_resolution"] = size
+    # per-version artifact roots: get_model_prefix is reference-exact and
+    # does NOT encode T5_version, so without this a cached t5-small
+    # checkpoint would be picked up (and fail to load) by a --t5-version
+    # t5-base/t5-large run
+    ver = getattr(args, "t5_version", "t5-small")
+    root = data_dir if ver == "t5-small" else os.path.join(data_dir, ver)
     return Experiment(cfg, train_mode=False, quiet=True,
-                      log_root=os.path.join(data_dir, "logs"),
-                      model_root=os.path.join(data_dir, "models"))
+                      log_root=os.path.join(root, "logs"),
+                      model_root=os.path.join(root, "models"))
 
 
 def _steady_windows(server, questions, tasks, ids, n: int, args):
@@ -294,13 +300,16 @@ def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True):
             # `bench.py --mode e2e_trained` once to create the checkpoint;
             # subsequent `all` runs then include the number.
             return None
-        sub = os.path.join(data_dir, "tiny" if tiny else "full")
         cfg = dict(exp.cfg)
         cfg["hyperparameters"] = dict(cfg["hyperparameters"],
                                       epochs=args.train_epochs)
-        trainer = Experiment(cfg, train_mode=True, quiet=True,
-                             log_root=os.path.join(sub, "logs"),
-                             model_root=os.path.join(sub, "models"))
+        # same artifact roots as the serving experiment (incl. the
+        # per-T5-version suffix) so the trained checkpoint is found
+        model_root = os.path.dirname(exp.model_path)
+        trainer = Experiment(
+            cfg, train_mode=True, quiet=True,
+            log_root=os.path.join(os.path.dirname(model_root), "logs"),
+            model_root=model_root)
         trainer.train()
         exp = _bench_experiment(args, data_dir, tiny=tiny)
     server = MPRServer(exp, load_checkpoint=True,

@@ -97,8 +97,19 @@ def load_checkpoint(path: str, params_template,
              if k.startswith("params/")}
     # device arrays, not numpy: loaded params feed jitted fns (a numpy leaf
     # indexed by a tracer raises TracerArrayConversionError)
-    params = jax.tree.map(jnp.asarray,
-                          _unflatten_into(params_template, pflat))
+    try:
+        params = jax.tree.map(jnp.asarray,
+                              _unflatten_into(params_template, pflat))
+    except KeyError as e:
+        # the reference's get_model_prefix does NOT encode T5_version (or
+        # d_model overrides), so a t5-large run can find a t5-small file
+        # under the same name — surface what actually happened instead of
+        # a bare KeyError from deep inside the unflatten recursion
+        raise ValueError(
+            f"checkpoint {path} does not match the model: parameter "
+            f"{e.args[0]!r} is missing from the file. Was it written by "
+            "a different T5_version / model variant under the same "
+            "reference-compatible name?") from e
     opt_state = None
     if opt_template is not None:
         oflat = {k[len("opt/"):]: v for k, v in flat.items()

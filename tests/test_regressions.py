@@ -323,3 +323,21 @@ def test_oversized_tokenizer_fails_loudly(synth_root, tmp_path):
     cfg["t5_overrides"] = dict(cfg["t5_overrides"], vocab_size=10)
     with pytest.raises(ValueError, match="vocab_size"):
         _exp(cfg, str(tmp_path))
+
+
+def test_checkpoint_template_mismatch_is_informative(tmp_path):
+    """get_model_prefix is reference-exact and does NOT encode T5_version,
+    so a t5-large run can find a t5-small checkpoint under the same name.
+    Loading it must raise a ValueError naming the file and the missing
+    parameter, not a bare KeyError from the unflatten recursion."""
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
+
+    small = {"t5": {"shared": np.zeros((4, 2), np.float32)}}
+    large = {"t5": {"shared": np.zeros((4, 2), np.float32),
+                    "proj": {"w": np.zeros((2, 3), np.float32)}}}
+    path = str(tmp_path / "model.npz")
+    ckpt.save_checkpoint(path, small)
+    with pytest.raises(ValueError, match="proj/w"):
+        ckpt.load_checkpoint(path, large)
