@@ -168,13 +168,38 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
 
         interpret = jax.default_backend() == "cpu"
         n_layers = jax.tree.leaves(blocks)[0].shape[0]
+        # Grouped block-diagonal packing: at serving text lengths (L=16
+        # after EOT truncation) one grid step per sequence runs tiny
+        # (L, Dh, L) dots far below MXU shape. Packing G sequences per
+        # step — reshape (B, L, 3W) -> (B/G, G·L, 3W) + a static
+        # block-diagonal additive bias (-1e9 off-block) — keeps ONE dot
+        # per head per step, just G× bigger. Mathematically identical:
+        # the reshape preserves within-block order, the causal iota over
+        # G·L keeps per-image causality, and -1e9 underflows to exactly 0
+        # through the fp32 softmax (bit-exact on the MXU; on CPU only the
+        # K=G·L dot accumulation tree rounds differently, ~1e-7).
+        # scripts/probe_grouped_text.py: EXACT sums for G up to 32 on
+        # chip; tower 9.62 -> 6.19 ms at B=512, L=16.
+        # Only engaged for short sequences where the dots are tiny and
+        # the G× extra masked-score FLOPs are noise.
+        group = 1
+        bias = None
+        if L <= 32:
+            group = next((g for g in (8, 4, 2) if B % g == 0), 1)
+        if group > 1:
+            pos = jnp.arange(group * L) // L
+            blockdiag = jnp.where(pos[:, None] == pos[None, :], 0.0, -1e9)
+            bias = jnp.broadcast_to(
+                blockdiag[None].astype(jnp.float32),
+                (heads, group * L, group * L))
         x = x.reshape(B * L, W)
         for li in range(n_layers):
             p = jax.tree.map(lambda a: a[li], blocks)
             h = fused_layer_norm(x, p["ln_1"]["w"], p["ln_1"]["b"])
             qkv = dense(h, p["attn"]["wqkv"], p["attn"]["bqkv"])
             o = row_attention_packed(
-                qkv.reshape(B, L, 3 * W), heads=heads, scale=Dh**-0.5,
+                qkv.reshape(B // group, group * L, 3 * W), bias,
+                heads=heads, scale=Dh**-0.5,
                 causal=causal, interpret=interpret).reshape(B * L, W)
             x = x + dense(o, p["attn"]["out"], p["attn"]["out_b"])
             h = fused_layer_norm(x, p["ln_2"]["w"], p["ln_2"]["b"])

@@ -131,6 +131,41 @@ def test_truncated_text_ids_equivalent():
     np.testing.assert_allclose(short, full, rtol=1e-5, atol=1e-6)
 
 
+def test_row_text_tower_grouped_matches_xla():
+    """The text-tower row path auto-engages grouped block-diagonal packing
+    at L<=32 when B divides by 2/4/8 (models/clip.py). A B=8 batch (G=8)
+    must match the ungrouped XLA tower, and each row must equal its own
+    B=1 (G=1) run — grouping cannot leak information across sequences."""
+    import dataclasses
+
+    import jax
+
+    from multimodalpromptretrieval_tpu.models.clip import (
+        CLIPConfig,
+        clip_encode_text,
+        init_clip,
+    )
+
+    cfg = CLIPConfig.tiny()
+    assert cfg.context_length <= 32  # grouping gate engages below
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    B, L = 8, cfg.context_length
+    ids = rng.integers(1, cfg.vocab_size - 2, size=(B, L))
+    for b in range(B):
+        pos = int(rng.integers(2, L))
+        ids[b, pos] = cfg.vocab_size - 1  # EOT (max id)
+        ids[b, pos + 1:] = 0
+    ids = jnp.asarray(ids.astype(np.int32))
+    ref = np.asarray(clip_encode_text(params, cfg, ids))
+    cfg_row = dataclasses.replace(cfg, text_attention_impl="row")
+    got = np.asarray(clip_encode_text(params, cfg_row, ids))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    for b in range(B):
+        solo = np.asarray(clip_encode_text(params, cfg_row, ids[b:b + 1]))
+        np.testing.assert_allclose(got[b:b + 1], solo, rtol=2e-5, atol=2e-5)
+
+
 def test_row_attention_impl_matches_xla_tower():
     """attention_impl='row' (2-D flattened + row-layout kernel) must match
     the default tower bit-for-fp32."""

@@ -95,6 +95,33 @@ def test_packed_gradients_match_xla(causal):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_grouped_blockdiag_packing_bit_exact(causal):
+    """Grouped block-diagonal packing (models/clip.py row path): reshaping
+    (B, L, 3W) -> (B/G, G·L, 3W) with a -1e9 off-block additive bias must
+    match the ungrouped kernel — the reshape preserves within-block order,
+    the causal iota over G·L keeps per-sequence causality, and -1e9
+    underflows to exactly 0 through the fp32 softmax. Mathematically
+    identical; tolerance only for the backend's K=G·L vs K=L dot
+    accumulation-tree rounding (bit-exact on the MXU,
+    scripts/probe_grouped_text.py)."""
+    rng = np.random.default_rng(4)
+    B, L, W, H = 8, 16, 64, 4
+    qkv = jnp.asarray(rng.normal(size=(B, L, 3 * W)), jnp.float32)
+    base = row_attention_packed(qkv, heads=H, scale=0.25, causal=causal,
+                                interpret=True)
+    for G in (2, 4, 8):
+        pos = jnp.arange(G * L) // L
+        bias = jnp.broadcast_to(
+            jnp.where(pos[:, None] == pos[None, :], 0.0,
+                      -1e9)[None].astype(jnp.float32), (H, G * L, G * L))
+        got = row_attention_packed(
+            qkv.reshape(B // G, G * L, 3 * W), bias, heads=H, scale=0.25,
+            causal=causal, interpret=True).reshape(B, L, W)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_packed_bias_grad_dtype_matches_primal():
     """causal=True folds the mask into a fp32 eff_bias for the recompute
     backward; the bias cotangent must still come back in the PRIMAL bias
