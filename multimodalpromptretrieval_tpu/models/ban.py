@@ -132,12 +132,23 @@ def init_biattention(key, x_dim: int, y_dim: int, z_dim: int,
     return {"logits": init_bcnet(key, x_dim, y_dim, z_dim, glimpse, k=3)}
 
 
-def biattention_apply(p: Params, v, q, *, v_mask: bool = True, rng=None):
-    """Returns (attention (b,g,nv,nq), raw logits)."""
+def biattention_apply(p: Params, v, q, *, v_mask: bool = True,
+                      q_valid=None, rng=None):
+    """Returns (attention (b,g,nv,nq), raw logits).
+
+    ``q_valid`` (b, nq) bool marks the question columns that exist under
+    the reference's padding="longest" layout (BAN.py:122-124): the
+    reference softmaxes over the flattened v·q grid INCLUDING every
+    padded column up to the batch's longest row, so its attention mass
+    depends on that width. A fixed bucket width adds columns the
+    reference never sees; masking them to -inf makes the bucketed layout
+    bit-equal to longest-padding (see ban_logits in models/mprgen.py)."""
     logits = bcnet_logits(p["logits"], v, q, k=3, rng=rng)
     if v_mask:
         mask = (jnp.sum(jnp.abs(v), axis=2) == 0)[:, None, :, None]
         logits = jnp.where(mask, -jnp.inf, logits)
+    if q_valid is not None:
+        logits = jnp.where(q_valid[:, None, None, :], logits, -jnp.inf)
     b, g, nv, nq = logits.shape
     att = jax.nn.softmax(logits.reshape(b, g, nv * nq), axis=2)
     return att.reshape(b, g, nv, nq), logits
@@ -153,8 +164,14 @@ def init_biresnet(key, v_dim: int, q_dim: int, glimpse: int) -> Params:
     }
 
 
-def biresnet_apply(p: Params, v_emb, q_emb, att, *, rng=None):
-    """Sequential glimpse fusion -> (b, q_dim). glimpse = len(p["b_net"])."""
+def biresnet_apply(p: Params, v_emb, q_emb, att, *, q_valid=None, rng=None):
+    """Sequential glimpse fusion -> (b, q_dim). glimpse = len(p["b_net"]).
+
+    ``q_valid`` (b, nq) bool: the reference's final ``q_emb.sum(1)``
+    (BAN.py:75) runs over every longest-padding position; columns a
+    fixed bucket width adds beyond that must not enter the sum (their
+    attention is already zero via biattention_apply's q_valid mask, so
+    b_emb needs no change — w is exactly 0 there)."""
     for g in range(len(p["b_net"])):
         sub_b = sub_q = None
         if rng is not None:
@@ -165,4 +182,6 @@ def biresnet_apply(p: Params, v_emb, q_emb, att, *, rng=None):
         upd = fcnet_apply(p["q_prj"][g], b_emb[:, None], act="",
                           dropout=0.2, rng=sub_q)
         q_emb = upd + q_emb
+    if q_valid is not None:
+        q_emb = jnp.where(q_valid[:, :, None], q_emb, 0.0)
     return q_emb.sum(axis=1)

@@ -401,13 +401,23 @@ def ban_logits(params: Params, cfg: MPRGenConfig, images, input_ids,
     q_emb, img = _ban_features(params, cfg, images, input_ids, text_mask,
                                tokens)
     enc = t5_encode(params["t5"], cfg.t5, q_emb, text_mask)
+    # Reference parity: its tokenizer pads to the BATCH's longest row
+    # (BAN.py:122), and BiAttention/BiResNet include every padded column
+    # up to that width in the softmax and the final sum. Our batches pad
+    # to a bucket width ≥ longest; q_valid masks the extra columns so
+    # the result is bit-equal to the reference's longest-padding layout
+    # (encoder outputs at positions < longest are width-invariant — the
+    # mask only hides keys, and relative positions don't shift).
+    longest = jnp.max(jnp.sum(text_mask, axis=1))
+    q_valid = jnp.arange(input_ids.shape[1])[None, :] < longest
+    q_valid = jnp.broadcast_to(q_valid, input_ids.shape)
     r_att = r_res = r_drop = None
     if rng is not None:
         r_att, r_res, r_drop = jax.random.split(rng, 3)
     att, _ = ban_ops.biattention_apply(params["ban"]["att"], img, enc,
-                                       rng=r_att)
+                                       q_valid=q_valid, rng=r_att)
     fused = ban_ops.biresnet_apply(params["ban"]["res"], img, enc, att,
-                                   rng=r_res)
+                                   q_valid=q_valid, rng=r_res)
     fused = _dropout(fused, 0.1, r_drop)
     return dense(fused, params["head"]["w"], params["head"]["b"])
 

@@ -160,21 +160,49 @@ def _export_checkpoint(sd_npz: str, config_path: str, lr: float) -> None:
     """Build the reference model (its own classes), strict-load the
     JAX-exported state dict, and save the {model,optimizer}_state_dict
     checkpoint main.py expects (main.py:199-206 layout) at
-    models/<prefix>.pt under the cwd."""
+    models/<prefix>.pt under the cwd.
+
+    The class is selected exactly the way main.py:132-146 does it
+    (use_prediction_head / use_BAN / freeze); the prediction-head class
+    needs num_classes, recovered from the exported head weight itself so
+    it always matches the ans2label space the weights were trained on."""
     import numpy as np
 
-    from architectures.T5VisionModel import T5VisionModel
     from utils import get_model_prefix
 
     with open(config_path) as f:
         cfg = json.load(f)
-    model = T5VisionModel(
-        "cpu", vision_encoder=cfg["vision_encoder"],
+    kw = dict(
+        vision_encoder=cfg["vision_encoder"],
         T5_version=cfg["T5_version"],
         use_image_info=bool(cfg["use_image_info"]),
         vision_checkpoint=cfg.get("vision_checkpoint"),
         mapping_checkpoint=None, retrieval_function=None,
         use_quantifier=True)
+    if cfg.get("use_prediction_head"):
+        with np.load(sd_npz) as z:
+            num_classes = z["prediction_head.weight"].shape[0]
+        if cfg.get("use_BAN"):
+            from architectures.T5VisionModelPredictionHeadBAN import (
+                T5VisionModelPredictionHeadBAN,
+            )
+
+            model = T5VisionModelPredictionHeadBAN(
+                "cpu", num_classes, glimpse=cfg.get("glimpse", 10), **kw)
+        else:
+            from architectures.T5VisionModelPredictionHead import (
+                T5VisionModelPredictionHead,
+            )
+
+            model = T5VisionModelPredictionHead("cpu", num_classes, **kw)
+    elif cfg.get("freeze"):
+        from architectures.T5VisionModelFrozen import T5VisionModelFrozen
+
+        model = T5VisionModelFrozen("cpu", **kw)
+    else:
+        from architectures.T5VisionModel import T5VisionModel
+
+        model = T5VisionModel("cpu", **kw)
     with np.load(sd_npz) as z:
         sd = {k: torch.tensor(np.ascontiguousarray(z[k])) for k in z.files}
     model.load_state_dict(sd, strict=True)

@@ -161,3 +161,44 @@ def test_biattention_masks_zero_image_rows():
     assert att.shape == (1, 2, 4, 3)
     np.testing.assert_allclose(att[0, :, 2, :], 0.0, atol=1e-7)
     np.testing.assert_allclose(att.reshape(2, -1).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_ban_logits_bucket_width_invariant():
+    """ban_logits must equal the reference's padding="longest" layout no
+    matter how far the bucket pads past the batch's longest row: the
+    q_valid mask (models/mprgen.ban_logits) hides the extra columns from
+    the BiAttention softmax (BAN.py:122-124) and the BiResNet final sum
+    (BAN.py:75)."""
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+    from multimodalpromptretrieval_tpu.models.t5 import T5Config
+
+    t5c = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+                   num_layers=1, num_decoder_layers=1, num_heads=2)
+    clipc = CLIPConfig(
+        embed_dim=16, image_resolution=32, vision_layers=1,
+        vision_width=16, patch_size=16, context_length=16,
+        vocab_size=64, text_width=16, vision_heads_override=2,
+        text_heads_override=2)
+    cfg = mprgen.MPRGenConfig(t5=t5c, clip=clipc, use_prediction_head=True,
+                              use_ban=True, num_classes=5)
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    B, longest = 3, 9
+    images = jnp.asarray(rng.normal(size=(B, 3, 32, 32)).astype(np.float32))
+    lens = [5, 9, 7]
+    rows = [rng.integers(2, 60, size=ln).astype(np.int32) for ln in lens]
+
+    def build(width):
+        ids = np.zeros((B, width), np.int32)
+        mask = np.zeros((B, width), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    ids_l, mask_l = build(longest)       # the reference's "longest" layout
+    ids_b, mask_b = build(longest + 23)  # a bucketed width far past it
+    out_l = np.asarray(mprgen.ban_logits(params, cfg, images, ids_l, mask_l))
+    out_b = np.asarray(mprgen.ban_logits(params, cfg, images, ids_b, mask_b))
+    np.testing.assert_allclose(out_b, out_l, rtol=2e-5, atol=2e-5)
