@@ -138,7 +138,7 @@ def make_train_step(cfg: mprgen.MPRGenConfig, trainable=None, *,
 
 
 def make_eval_loss_step(cfg: mprgen.MPRGenConfig, *,
-                        mesh: Optional[Mesh] = None):
+                        mesh: Optional[Mesh] = None, param_sharding=None):
     """fn(params, batch) -> summed loss * batch_size contribution.
 
     Returns the mean loss over the batch (reference
@@ -150,7 +150,9 @@ def make_eval_loss_step(cfg: mprgen.MPRGenConfig, *,
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        ps = param_sharding if param_sharding is not None \
+            else replicated(mesh)
+        kwargs["in_shardings"] = (ps, batch_sharding(mesh))
         kwargs["out_shardings"] = replicated(mesh)
     return jax.jit(step, **kwargs)
 
@@ -195,7 +197,8 @@ def make_predict_step_shardmap(cfg: mprgen.MPRGenConfig, mesh: Mesh, *,
 
 def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
                              max_new_tokens: int = 20,
-                             mesh: Optional[Mesh] = None):
+                             mesh: Optional[Mesh] = None,
+                             param_sharding=None):
     """Generative predict over precomputed visual prefixes (batch keys:
     prefix, input_ids, text_mask)."""
 
@@ -207,7 +210,9 @@ def make_prefix_predict_step(cfg: mprgen.MPRGenConfig, *,
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        ps = param_sharding if param_sharding is not None \
+            else replicated(mesh)
+        kwargs["in_shardings"] = (ps, batch_sharding(mesh))
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)
 
@@ -216,6 +221,7 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
                           use_quantifier: bool, eos_id: int,
                           max_new_tokens: int = 20, topk_impl: str = "auto",
                           skip_first: bool = False,
+                          spec_block: int = 0,
                           mesh: Optional[Mesh] = None):
     """The whole per-request serve pipeline in ONE jit: CLIP text tower →
     (img ⊕ txt) L2 top-k over the device-resident index → in-graph
@@ -227,14 +233,24 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
     final width (no EOS), q_len (B,), clip_text_ids (B,Lc),
     img_emb (B,E) fp32}. Token-exact vs the host path under the
     boundary-safety contract (retrieval/hints.py; tested in
-    tests/test_serve_fastpath.py)."""
+    tests/test_serve_fastpath.py).
+
+    ``spec_block`` > 0 switches the decode to hint-draft speculative
+    verification: the step gains two trailing args (draft_ids, draft_len —
+    retrieval/hints.build_draft_tables rows indexed by dense answer id)
+    and drafts each row with its majority-vote answer's label tokens.
+    Token outputs are unchanged by construction."""
     import jax.numpy as jnp
 
     from multimodalpromptretrieval_tpu.models.clip import clip_encode_text
     from multimodalpromptretrieval_tpu.ops.topk import l2_topk
     from multimodalpromptretrieval_tpu.retrieval import hints as rhints
+    from multimodalpromptretrieval_tpu.retrieval.index import (
+        QUANTIFIER_BUCKETS,
+    )
 
-    def step(params, batch, index, index_sq, aid, hint_ids, hint_len):
+    def step(params, batch, index, index_sq, aid, hint_ids, hint_len,
+             draft_ids=None, draft_len=None):
         params = mprgen.cast_compute(params, cfg)
         txt = clip_encode_text(params["clip"], cfg.clip,
                                batch["clip_text_ids"]).astype(jnp.float32)
@@ -246,14 +262,22 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
         ids, mask = rhints.splice_hints(
             batch["q_ids"], batch["q_len"], hint_ids[rows],
             hint_len[rows], eos_id)
+        drafts = None
+        if spec_block > 0 and draft_ids is not None:
+            winner = rows // len(QUANTIFIER_BUCKETS) if use_quantifier \
+                else rows
+            drafts = draft_ids[winner]
         return mprgen.generative_predict_from_prefix(
-            params, cfg, batch["prefix"], ids, mask, max_new_tokens)
+            params, cfg, batch["prefix"], ids, mask, max_new_tokens,
+            draft_ids=drafts, spec_block=spec_block)
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
         rep = replicated(mesh)
-        kwargs["in_shardings"] = (rep, batch_sharding(mesh),
-                                  rep, rep, rep, rep, rep)
+        shardings = [rep, batch_sharding(mesh), rep, rep, rep, rep, rep]
+        if spec_block > 0:
+            shardings += [rep, rep]
+        kwargs["in_shardings"] = tuple(shardings)
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)
 
@@ -286,7 +310,8 @@ def make_image_embed_prefix_step(cfg: mprgen.MPRGenConfig, *,
 
 
 def make_vision_tokens_step(cfg: mprgen.MPRGenConfig, *,
-                            mesh: Optional[Mesh] = None):
+                            mesh: Optional[Mesh] = None,
+                            param_sharding=None):
     """fn(params, images) -> frozen-trunk features (ViT tokens (B, P, C)
     or RN layer4 grid): the loop-invariant part of the visual path.
     Experiment.train caches these per unique image so the per-step work is
@@ -302,13 +327,15 @@ def make_vision_tokens_step(cfg: mprgen.MPRGenConfig, *,
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        ps = param_sharding if param_sharding is not None \
+            else replicated(mesh)
+        kwargs["in_shardings"] = (ps, batch_sharding(mesh))
         kwargs["out_shardings"] = replicated(mesh)
     return jax.jit(step, **kwargs)
 
 
 def make_image_prefix_step(cfg: mprgen.MPRGenConfig, *,
-                           mesh: Optional[Mesh] = None):
+                           mesh: Optional[Mesh] = None, param_sharding=None):
     """fn(params, images) -> (B, P, d_model) visual prefixes."""
 
     def step(params, images):
@@ -321,6 +348,8 @@ def make_image_prefix_step(cfg: mprgen.MPRGenConfig, *,
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicated(mesh), batch_sharding(mesh))
+        ps = param_sharding if param_sharding is not None \
+            else replicated(mesh)
+        kwargs["in_shardings"] = (ps, batch_sharding(mesh))
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)

@@ -52,6 +52,7 @@ from multimodalpromptretrieval_tpu.models.clip import (
 from multimodalpromptretrieval_tpu.models.t5 import T5Config
 from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
 from multimodalpromptretrieval_tpu.parallel import multihost
+from multimodalpromptretrieval_tpu.parallel import pipeline as ppipe
 from multimodalpromptretrieval_tpu.retrieval.index import RetrievalIndex
 from multimodalpromptretrieval_tpu.text import (
     CLIPBPETokenizer,
@@ -130,13 +131,17 @@ class Experiment:
         self.log_root = log_root
         self.model_root = model_root
         if mesh is None:
-            # the data axis must divide the static batch size
-            bs = cfg["hyperparameters"]["batch_size"]
-            n = len(jax.devices())
-            while n > 1 and bs % n:
-                n -= 1
-            mesh = pmesh.get_mesh(n_data=n)
+            mesh = self._build_mesh(cfg)
         self.mesh = mesh
+        # parallelism axes come from the mesh itself (a caller-passed mesh
+        # wins over the config key): "model" -> Megatron TP over the T5
+        # kernels, "pipe" -> GPipe PP over the layer stacks
+        self.n_model = mesh.shape.get("model", 1)
+        self.n_pipe = mesh.shape.get("pipe", 1)
+        self.pp_microbatches = int(
+            (cfg.get("parallelism") or {}).get("microbatches", 0))
+        if self.n_pipe > 1 and train_mode:
+            self._check_pp_config(cfg)
         # Multi-host runs (parallel/multihost.py): every process executes
         # the same train loop over the same host data; only process 0
         # writes checkpoints / logs. True in single-process runs.
@@ -283,6 +288,7 @@ class Experiment:
         self._eval_step = None
         self._predict_step = None
         self._gather_step = None
+        self._tp_sharding = None
         self._token_cache: Dict[str, Dict[tuple, List[int]]] = {}
         # frozen-trunk vision-token cache: (device table (U, P, C),
         # image_name -> row). Built by build_vision_token_cache.
@@ -291,6 +297,64 @@ class Experiment:
         self._prefix_dev = None
 
     # ------------------------------------------------------------------------
+
+    @staticmethod
+    def _build_mesh(cfg):
+        """Build the device mesh from the ``parallelism`` config key
+        (SURVEY.md §2c: the mesh is the first-class strategy, so it must be
+        reachable from the user-facing config, not just the library).
+
+        Schema: ``"parallelism": {"model": N, "pipe": N, "data": N,
+        "microbatches": M}`` — all optional. "model" > 1 runs Megatron TP
+        over the T5 kernels (parallel/mesh.param_shardings); "pipe" > 1
+        runs GPipe PP over the layer stacks (parallel/pipeline). The data
+        axis defaults to the remaining devices, shrunk until it divides the
+        static batch size."""
+        par = dict(cfg.get("parallelism") or {})
+        n_model = int(par.get("model", 1))
+        n_pipe = int(par.get("pipe", 1))
+        if n_model > 1 and n_pipe > 1:
+            raise ValueError(
+                "parallelism: combined model+pipe meshes are not supported;"
+                " set only one of 'model' / 'pipe' above 1")
+        n_dev = len(jax.devices())
+        width = n_model * n_pipe
+        if n_dev % width:
+            raise ValueError(
+                f"parallelism: model*pipe = {width} does not divide the "
+                f"{n_dev} available devices")
+        bs = cfg["hyperparameters"]["batch_size"]
+        n = int(par.get("data", 0)) or n_dev // width
+        while n > 1 and bs % n:
+            n -= 1
+        if n * width > n_dev:
+            raise ValueError(
+                f"parallelism: data={n} * model*pipe={width} exceeds the "
+                f"{n_dev} available devices")
+        if n_pipe > 1:
+            return ppipe.get_pipe_mesh(n_data=n, n_pipe=n_pipe)
+        return pmesh.get_mesh(n_data=n, n_model=n_model)
+
+    def _check_pp_config(self, cfg) -> None:
+        """Pipeline parallelism covers the deterministic generative loss
+        only (parallel/pipeline.pp_generative_loss) — refuse configs that
+        would silently change semantics rather than approximating them."""
+        problems = []
+        if cfg.get("use_prediction_head") or cfg.get("use_BAN"):
+            problems.append(
+                "prediction-head / BAN variants are not pipelined")
+        if (cfg.get("t5_overrides") or {}).get("dropout_rate", 0.1) != 0.0:
+            problems.append(
+                "the PP step trains deterministically (no dropout): set "
+                '"t5_overrides": {"dropout_rate": 0.0}')
+        if cfg.get("exact_train_predict"):
+            problems.append(
+                "exact_train_predict greedy-decodes on every train batch, "
+                "which is not pipelined")
+        if problems:
+            raise ValueError(
+                "parallelism.pipe > 1 is incompatible with this config: "
+                + "; ".join(problems))
 
     @staticmethod
     def _override_t5(t5_cfg: T5Config, cfg) -> T5Config:
@@ -560,7 +624,8 @@ class Experiment:
         # per call would retrace/recompile on every use
         if self._prefix_step_fn is None:
             self._prefix_step_fn = pmesh.make_image_prefix_step(
-                self.model_cfg, mesh=self.mesh)
+                self.model_cfg, mesh=self.mesh,
+                param_sharding=self.param_sharding())
         return self._prefix_step_fn
 
     def compute_image_prefixes(self, entries) -> Dict[str, np.ndarray]:
@@ -612,7 +677,8 @@ class Experiment:
                     names.append(n)
         if not names:
             return False
-        step = pmesh.make_vision_tokens_step(mcfg, mesh=self.mesh)
+        step = pmesh.make_vision_tokens_step(
+            mcfg, mesh=self.mesh, param_sharding=self.param_sharding())
         # upload in the compute dtype (the step casts on device anyway;
         # half the wire bytes under bf16 — same rule as serve staging)
         np_dt = np.dtype(mcfg.compute_dtype)
@@ -748,22 +814,52 @@ class Experiment:
 
     # -- steps -----------------------------------------------------------------
 
+    def param_sharding(self):
+        """NamedSharding pytree for params under the configured axes:
+        TP-sharded T5 kernels when n_model > 1, else None (replicated).
+        Passed to every param-consuming jit so committed placements stay
+        consistent across the train / eval / predict / vision steps."""
+        if self.n_model <= 1:
+            return None
+        if self._tp_sharding is None:
+            self._tp_sharding = pmesh.param_shardings(self.params, self.mesh)
+        return self._tp_sharding
+
     def train_step(self):
         if self._train_step is None:
-            self._train_step = pmesh.make_train_step(
-                self.model_cfg, self.trainable, mesh=self.mesh)
+            if self.n_pipe > 1:
+                specs = ppipe.param_pipe_specs(self.params)
+                pp = ppipe.make_train_step_pp(
+                    self.model_cfg, self.trainable, mesh=self.mesh,
+                    param_specs=specs,
+                    microbatches=self.pp_microbatches)
+                # uniform signature with the DP/TP step; the PP loss is
+                # deterministic so the dropout key is unused
+                self._train_step = lambda p, o, b, lr, rng: pp(p, o, b, lr)
+            else:
+                self._train_step = pmesh.make_train_step(
+                    self.model_cfg, self.trainable, mesh=self.mesh,
+                    param_sharding=self.param_sharding())
         return self._train_step
 
     def eval_step(self):
         if self._eval_step is None:
-            self._eval_step = pmesh.make_eval_loss_step(
-                self.model_cfg, mesh=self.mesh)
+            if self.n_pipe > 1:
+                self._eval_step = ppipe.make_eval_loss_step_pp(
+                    self.model_cfg, mesh=self.mesh,
+                    param_specs=ppipe.param_pipe_specs(self.params),
+                    microbatches=self.pp_microbatches)
+            else:
+                self._eval_step = pmesh.make_eval_loss_step(
+                    self.model_cfg, mesh=self.mesh,
+                    param_sharding=self.param_sharding())
         return self._eval_step
 
     def predict_step(self):
         if self._predict_step is None:
             self._predict_step = pmesh.make_predict_step(
-                self.model_cfg, mesh=self.mesh)
+                self.model_cfg, mesh=self.mesh,
+                param_sharding=self.param_sharding())
         return self._predict_step
 
     # -- phases ----------------------------------------------------------------
@@ -939,6 +1035,12 @@ class Experiment:
                     "pass load=False")
             self.params, _, _ = ckpt.load_checkpoint(
                 self.model_path, self.params)
+        elif self.n_pipe > 1:
+            # decode/test run un-pipelined: params straight out of a PP
+            # train are layer-sharded over "pipe", which the replicated
+            # predict jits would reject — pull a dense host copy once and
+            # let the steps re-place it
+            self.params = jax.device_get(self.params)
         mcfg = self.model_cfg
         if self.retrieval_index is not None:
             self.retrieval_index.is_training_phase = False
@@ -954,7 +1056,8 @@ class Experiment:
             # serve-style staging: the prefix table stays ON DEVICE and
             # batches gather their rows there (no per-batch prefix upload)
             self.stage_image_prefixes(self.dataset_test.entries)
-            step = pmesh.make_prefix_predict_step(mcfg, mesh=self.mesh)
+            step = pmesh.make_prefix_predict_step(
+                mcfg, mesh=self.mesh, param_sharding=self.param_sharding())
             batches = self.make_split_batches(self.dataset_test, "test",
                                               prefix_rows=True)
         else:
