@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve with int8 W8A8 quantized weights "
                         "(ops/quant; 'int8' keeps retrieval ranks "
                         "fp-identical)")
+    p.add_argument("--spec-decode", type=int, default=0,
+                   help="serve: hint-draft speculative decode block size "
+                        "(0 = lockstep greedy; answers identical either "
+                        "way — models/t5.t5_spec_greedy_decode)")
     p.add_argument("--config", help="config file name in the config folder")
     p.add_argument("--gpu_id", help="ignored (TPU mesh is auto-discovered)")
     p.add_argument("--model_file",
@@ -57,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def serve_stream(exp, stream, out, quantize=None) -> int:
+def serve_stream(exp, stream, out, quantize=None,
+                 spec_decode: int = 0) -> int:
     """Drive :class:`serve.MPRServer` over a JSONL request stream.
 
     Each input line is one request: ``{"question": str, "task": str
@@ -81,7 +86,8 @@ def serve_stream(exp, stream, out, quantize=None) -> int:
 
     from multimodalpromptretrieval_tpu.serve import MPRServer
 
-    server = MPRServer(exp, quantize=quantize, pipeline_depth=2)
+    server = MPRServer(exp, quantize=quantize, pipeline_depth=2,
+                       spec_decode=spec_decode)
     size = exp.model_cfg.clip.image_resolution
     path_cache: dict = {}
 
@@ -204,7 +210,8 @@ def main(argv=None) -> None:
 
         stream = open(args.requests) if args.requests else sys.stdin
         try:
-            serve_stream(exp, stream, sys.stdout, quantize=args.quantize)
+            serve_stream(exp, stream, sys.stdout, quantize=args.quantize,
+                         spec_decode=args.spec_decode)
         finally:
             if args.requests:
                 stream.close()

@@ -50,6 +50,7 @@ from multimodalpromptretrieval_tpu.models.t5 import (
     t5_encode,
     t5_greedy_decode,
     t5_loss,
+    t5_spec_greedy_decode,
 )
 from multimodalpromptretrieval_tpu.models import ban as ban_ops
 from multimodalpromptretrieval_tpu.ops.layers import (
@@ -311,19 +312,30 @@ def generative_predict(params: Params, cfg: MPRGenConfig, images, input_ids,
 
 def generative_predict_from_prefix(params: Params, cfg: MPRGenConfig,
                                    prefix, input_ids, text_mask,
-                                   max_new_tokens: int = 20) -> jnp.ndarray:
+                                   max_new_tokens: int = 20,
+                                   draft_ids=None,
+                                   spec_block: int = 0) -> jnp.ndarray:
     """predict with a precomputed visual prefix (B, P, d_model).
 
     The vision tower is frozen, so per-image prefixes are loop-invariant;
     SLAKE attaches ~3 questions to each image — caching prefixes removes
     ~2/3 of the dominant ViT cost from real eval/serve workloads (the
-    reference recomputes CLIP per QA pair, main.py:263)."""
+    reference recomputes CLIP per QA pair, main.py:263).
+
+    With ``draft_ids`` + ``spec_block`` > 0, decoding runs hint-draft
+    speculative verification (t5.t5_spec_greedy_decode) — same tokens,
+    fewer serial steps when the drafts match."""
     q_emb = params["t5"]["shared"][input_ids]
     B, P, _ = prefix.shape
     embeds = jnp.concatenate([prefix.astype(q_emb.dtype), q_emb], axis=1)
     mask = jnp.concatenate(
         [jnp.ones((B, P), text_mask.dtype), text_mask], axis=1)
     enc = t5_encode(params["t5"], cfg.t5, embeds, mask)
+    if draft_ids is not None and spec_block > 0:
+        return t5_spec_greedy_decode(params["t5"], cfg.t5, enc, mask,
+                                     draft_ids,
+                                     max_new_tokens=max_new_tokens,
+                                     block=spec_block)
     return t5_greedy_decode(params["t5"], cfg.t5, enc, mask,
                             max_new_tokens=max_new_tokens)
 

@@ -772,3 +772,157 @@ def t5_greedy_decode(
     _, tokens, _, _, _ = jax.lax.while_loop(
         cond_fn, step_fn, (jnp.int32(0), tokens, self_k, self_v, finished))
     return tokens
+
+
+def t5_spec_greedy_decode(
+    params: Params, cfg: T5Config, encoder_hidden: jnp.ndarray,
+    encoder_mask: Optional[jnp.ndarray], draft_ids: jnp.ndarray,
+    max_new_tokens: int = 20, block: int = 4,
+) -> jnp.ndarray:
+    """Hint-draft speculative greedy decode — same outputs as
+    :func:`t5_greedy_decode` (early_stop semantics), fewer serial steps.
+
+    ``draft_ids`` (B, Dw): a per-row PROPOSED continuation aligned to
+    absolute output slots (slot m+1's candidate is ``draft_ids[:, m]``).
+    The serving draft is the retrieved answer's token tail (already
+    device-resident in the hint tables — retrieval/hints.py): a trained
+    model usually generates exactly the retrieved answer, so whole
+    answers verify in one pass. Exactness does NOT depend on the draft:
+    every accepted token is the argmax given a verified prefix.
+
+    Each iteration runs ONE decoder pass over ``block + 1`` positions
+    [cur, d_0..d_{S-1}] at per-row offsets: output o_j is the true greedy
+    token for slot n+j+1 whenever d_0..d_{j-1} all matched, so the
+    longest matched prefix plus the bonus token (1..S+1 tokens) is
+    accepted per pass. Worst case (useless drafts) accepts 1 token per
+    pass — the lockstep loop's rate, at ~(S+1)x the FLOPs but the SAME
+    serial KV-cache read count, which is what the latency-bound decode
+    actually pays for (docs/TPU_NOTES.md).
+
+    Per-row mechanics (the NEXT_STEPS r2 design): per-row decode
+    positions ``n``, K/V scatters at per-row offsets, per-row bias rows
+    gathered from the full (H, Tc, Tc) table, per-(row, query) validity
+    folded into the additive bias. Rejected/bonus cache slots hold stale
+    K/V but sit at or beyond each row's frontier, where the next pass
+    rewrites them before any masked read can see them.
+
+    Reference behavior covered: greedy generate(max_new_tokens)
+    (architectures/T5VisionModel.py:200-205), exact per-row EOS stop.
+    """
+    dec = params["decoder"]
+    B = encoder_hidden.shape[0]
+    H, Lyrs = cfg.num_heads, cfg.num_decoder_layers
+    W = cfg.inner_dim
+    Dh = cfg.d_kv
+    T = max_new_tokens
+    S = int(block)
+    assert S >= 1
+    Tc = T + S  # block queries can run S past the last real slot
+    Dw = draft_ids.shape[1]
+
+    cross_k, cross_v = _precompute_cross_kv(params, cfg, encoder_hidden)
+    Lk = cross_k.shape[2]
+    enc_kv_mask = (None if encoder_mask is None
+                   else encoder_mask.astype(bool))
+    full_bias = compute_position_bias(dec["rel_bias"], Tc, Tc,
+                                      bidirectional=False, cfg=cfg)[0]
+    qkv_w = kconcat(
+        [dec["block"]["self_attn"]["q"], dec["block"]["self_attn"]["k"],
+         dec["block"]["self_attn"]["v"]], axis=2)
+
+    self_k = jnp.zeros((Lyrs, B, Tc, W), encoder_hidden.dtype)
+    self_v = jnp.zeros_like(self_k)
+    tokens = jnp.full((B, T + 1), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    n0 = jnp.zeros((B,), jnp.int32)
+    finished = jnp.zeros((B,), bool)
+    jj = jnp.arange(S + 1, dtype=jnp.int32)
+    brow = jnp.arange(B, dtype=jnp.int32)
+
+    def heads(y, L):
+        return jnp.transpose(y.reshape(B, L, H, Dh), (0, 2, 1, 3))
+
+    def step_fn(state):
+        tokens, n, self_k, self_v, finished = state
+        nc = jnp.minimum(n, T - 1)
+        cur = tokens[brow, nc]                                  # (B,)
+        dslot = nc[:, None] + jj[None, 1:] - 1                  # (B, S)
+        drafts = jnp.where(
+            dslot < Dw,
+            jnp.take_along_axis(draft_ids, jnp.clip(dslot, 0, Dw - 1),
+                                axis=1),
+            jnp.int32(cfg.pad_token_id))
+        in_tok = jnp.concatenate([cur[:, None], drafts], axis=1)
+        x = params["shared"][in_tok]                            # (B,S+1,D)
+        qpos = nc[:, None] + jj[None, :]                        # (B, S+1)
+        # per-(row, query) additive bias: rel-pos row + key validity
+        bias_rows = jnp.take(full_bias, qpos, axis=1)        # (H,B,S+1,Tc)
+        bias_rows = jnp.transpose(bias_rows, (1, 0, 2, 3)
+                                  ).astype(jnp.float32)
+        kpos = jnp.arange(Tc, dtype=jnp.int32)
+        valid = kpos[None, None, :] <= qpos[:, :, None]         # (B,S+1,Tc)
+        bias_eff = jnp.where(valid[:, None], bias_rows, -1e9)
+
+        def pick(tree, li):
+            return jax.tree.map(lambda a: a[li], tree)
+
+        for li in range(Lyrs):
+            p = pick(dec["block"], li)
+            h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
+            qkv = dense(h, kslice(qkv_w, li))                   # (B,S+1,3W)
+            q, k_new, v_new = (qkv[..., :W], qkv[..., W:2 * W],
+                               qkv[..., 2 * W:])
+            # per-row-offset cache scatter (positions n..n+S, disjoint
+            # within a row by construction)
+            self_k = self_k.at[li, brow[:, None], qpos, :].set(k_new)
+            self_v = self_v.at[li, brow[:, None], qpos, :].set(v_new)
+            o = multi_head_attention(
+                heads(q, S + 1), heads(self_k[li], Tc),
+                heads(self_v[li], Tc), bias=bias_eff, causal=False,
+                scale=1.0, impl="xla")
+            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S + 1, W)
+            x = x + dense(o, p["self_attn"]["o"])
+
+            h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+            qc = dense(h, p["cross_attn"]["q"])
+            oc = multi_head_attention(
+                heads(qc, S + 1), heads(cross_k[li], Lk),
+                heads(cross_v[li], Lk), bias=None, kv_mask=enc_kv_mask,
+                causal=False, scale=1.0, impl="xla")
+            oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(B, S + 1, W)
+            x = x + dense(oc, p["cross_attn"]["o"])
+
+            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+            x = x + _ff_block(p["ff"], cfg, h)
+        x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+        x = x * (cfg.d_model**-0.5)
+        logits = jnp.dot(x, params["shared"].T.astype(x.dtype))
+        o_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, S+1)
+
+        # accept the longest draft prefix that matched, plus the bonus
+        match = (o_tok[:, :S] == drafts).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)         # 0..S
+        acc = a + 1
+        # exact per-row EOS stop: truncate at the first emitted EOS
+        is_eos = (o_tok == cfg.eos_token_id) & (jj[None, :] < acc[:, None])
+        any_eos = jnp.any(is_eos, axis=1)
+        first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+        acc = jnp.where(any_eos, first_eos + 1, acc)
+        cap = T - n
+        hit_eos = any_eos & (first_eos + 1 <= cap)
+        acc = jnp.where(finished, 0, jnp.minimum(acc, cap))
+
+        m = jnp.arange(T + 1, dtype=jnp.int32)[None, :]
+        rel = m - n[:, None] - 1
+        write = (rel >= 0) & (rel < acc[:, None])
+        og = jnp.take_along_axis(o_tok, jnp.clip(rel, 0, S), axis=1)
+        tokens = jnp.where(write, og, tokens)
+        return tokens, n + acc, self_k, self_v, finished | hit_eos
+
+    def cond_fn(state):
+        _, n, _, _, finished = state
+        return jnp.any(jnp.logical_and(~finished, n < T))
+
+    tokens, _, _, _, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (tokens, n0, self_k, self_v, finished))
+    return tokens

@@ -113,6 +113,41 @@ def build_hint_tables(index: RetrievalIndex, tokenizer,
         use_quantifier=use_quantifier)
 
 
+@dataclass
+class DraftTables:
+    """Per-answer token drafts for hint-draft speculative decode
+    (models/t5.t5_spec_greedy_decode).
+
+    Row ``a`` holds ``tokenizer.encode(answer_a)`` — the label tokenization
+    the model was trained on (train/experiment.py), incl. the trailing
+    EOS — zero-padded to the table width. Indexed by the SAME dense
+    answer id as :class:`HintTables` (first-occurrence order over
+    ``index.answers``), so the majority-vote winner selects its draft with
+    one gather. Draft quality only affects speed, never outputs.
+    """
+
+    ids: jnp.ndarray   # (n_distinct_answers, A) int32
+    len: jnp.ndarray   # (n_distinct_answers,) int32
+
+
+def build_draft_tables(index: RetrievalIndex, tokenizer,
+                       max_length: int = 20) -> Optional[DraftTables]:
+    """Tokenize every distinct corpus answer into a draft row."""
+    first: dict = {}
+    for a in index.answers:
+        first.setdefault(a, len(first))
+    if not first:
+        return None
+    rows = [tokenizer.encode(a, max_length=max_length) for a in first]
+    A = max(1, max(len(r) for r in rows))
+    ids = np.zeros((len(rows), A), np.int32)
+    lens = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, :len(r)] = r
+        lens[i] = len(r)
+    return DraftTables(ids=jnp.asarray(ids), len=jnp.asarray(lens))
+
+
 def vote_rows(aid_k: jnp.ndarray, use_quantifier: bool) -> jnp.ndarray:
     """In-graph majority vote over the top-k answer ids -> hint-table rows.
 

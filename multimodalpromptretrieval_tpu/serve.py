@@ -54,7 +54,8 @@ class AnswerHandle:
 class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
                  max_new_tokens: int = 20, prompt_fastpath: bool = True,
-                 pipeline_depth: int = 1, quantize: Optional[str] = None):
+                 pipeline_depth: int = 1, quantize: Optional[str] = None,
+                 spec_decode: int = 0):
         import os
 
         from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
@@ -97,9 +98,15 @@ class MPRServer:
         self._embed_prefix_step = None
         self._text_embed_step = None
         self._staged = None  # stage_images cache: (id -> row, emb, prefix)
+        # hint-draft speculative decode block size (0 = lockstep greedy).
+        # Only the fused fast path drafts (it has the vote winner
+        # in-graph); outputs are identical either way — see
+        # models/t5.t5_spec_greedy_decode
+        self.spec_decode = max(0, int(spec_decode))
         self._fused_predict = None
         self._fused_key = None  # retrieval config the fused step captured
         self._hint_tables = None  # None = not built; False = unavailable
+        self._draft_tables = None  # built alongside when spec_decode > 0
         self._hint_src = None  # (id, len) of the index the tables match
 
     def _ensure_hint_tables(self):
@@ -116,9 +123,11 @@ class MPRServer:
             # (hint rows could tokenize differently now): rebuild — also
             # clears a sticky False from a previously unsupported corpus
             self._hint_tables = None
+            self._draft_tables = None
             self._hint_src = src
         if self._hint_tables is None:
             from multimodalpromptretrieval_tpu.retrieval.hints import (
+                build_draft_tables,
                 build_hint_tables,
             )
 
@@ -130,6 +139,10 @@ class MPRServer:
                 self._hint_tables = build_hint_tables(
                     exp.retrieval_index, tok,
                     use_quantifier=exp.use_quantifier) or False
+            if self._hint_tables and self.spec_decode:
+                self._draft_tables = build_draft_tables(
+                    exp.retrieval_index, tok,
+                    max_length=self.max_new_tokens)
         return self._hint_tables or None
 
     def _hints(self, images: np.ndarray, questions: Sequence[str]
@@ -456,17 +469,21 @@ class MPRServer:
         # when the retrieval config changes underneath the server (e.g.
         # exp.k reassigned, or the index flipped back to training phase),
         # mirroring _ensure_hint_tables' invalidation
+        spec = self.spec_decode if self._draft_tables is not None else 0
         fkey = (exp.k, exp.use_quantifier, exp.tokenizer.eos_id,
-                index.topk_impl, index.is_training_phase)
+                index.topk_impl, index.is_training_phase, spec)
         if self._fused_predict is None or self._fused_key != fkey:
             self._fused_predict = pmesh.make_fused_serve_step(
                 mcfg, k=exp.k, use_quantifier=exp.use_quantifier,
                 eos_id=exp.tokenizer.eos_id,
                 max_new_tokens=self.max_new_tokens,
                 topk_impl=index.topk_impl,
-                skip_first=index.is_training_phase, mesh=exp.mesh)
+                skip_first=index.is_training_phase, spec_block=spec,
+                mesh=exp.mesh)
             self._fused_key = fkey
         step = self._fused_predict
+        spec_args = ((self._draft_tables.ids, self._draft_tables.len)
+                     if spec else ())
 
         def dispatch(s: int):
             # one native call tokenizes the whole chunk (spm.encode_rows)
@@ -493,7 +510,7 @@ class MPRServer:
                  "img_emb": jnp.take(emb_dev, gather, axis=0)})
             return step(self.params, batch, index.embeddings,
                         index.index_sq, ht.aid, ht.hint_ids,
-                        ht.hint_len), k
+                        ht.hint_len, *spec_args), k
 
         return self._run_pipeline(list(range(0, n, B)),
                                   lambda i, s: dispatch(s))

@@ -413,3 +413,24 @@ def test_continuation_exactness_fuzz():
         else:
             n_unsafe += 1
     assert n_safe >= 20 and n_unsafe >= 20, (n_safe, n_unsafe)
+
+
+def test_spec_decode_answers_match_lockstep(trained):
+    """MPRServer(spec_decode=4): hint-draft speculative decode through the
+    fused step returns identical answers to the lockstep fast path (and
+    builds its draft tables)."""
+    spec = MPRServer(trained, spec_decode=4)
+    base = MPRServer(trained)
+    entries = (trained.dataset_test.entries * 2)[:10]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    a_spec = spec.answer(images, questions, tasks, image_ids=ids)
+    a_base = base.answer(images, questions, tasks, image_ids=ids)
+    assert a_spec == a_base
+    assert spec._draft_tables is not None
+    assert spec._fused_predict is not None
+    # draft rows are the label tokenization of the distinct corpus answers
+    n_distinct = len({a for a in trained.retrieval_index.answers})
+    assert spec._draft_tables.ids.shape[0] == n_distinct

