@@ -25,6 +25,40 @@ _COLORS: Dict[str, Tuple[int, int, int]] = {
     "yellow": (230, 220, 50),
 }
 _SHAPES = ("circle", "square", "cross")
+_COUNT_WORDS = {1: "one", 2: "two", 3: "three"}
+
+
+def _open_qa(shape: str, color_name: str, count: int,
+             rng: random.Random) -> List[tuple]:
+    """Open-ended QA pairs with MULTI-TOKEN answers (2-8 T5 tokens).
+
+    The default corpus answers are one word each, which flatters serving
+    benchmarks: a trained greedy decode early-exits after ~3 steps, hiding
+    the serial decode cost that dominates on real SLAKE open answers
+    (VERDICT r2 weak #4). These answers are 4-9 word phrases determined by
+    the image content (so training still converges and retrieval hints
+    still help), and the questions run long like real clinical phrasings.
+    """
+    plural = "s" if count > 1 else ""
+    probe = rng.choice(_SHAPES)
+    return [
+        ("what does the image show overall, including the number, color "
+         "and form of the findings present?",
+         f"{_COUNT_WORDS[count]} {color_name} {shape}{plural} on a plain "
+         "light background",
+         "Shape", "open"),
+        ("describe the appearance and the dominant color of the main "
+         "finding in this scan as completely as you can, considering its "
+         "overall texture and intensity",
+         f"a {shape} shaped finding with a uniform {color_name} "
+         "appearance",
+         "Color", "open"),
+        (f"is there a {probe} visible anywhere in this image, taking the "
+         "whole field of view into account?",
+         "yes, at least one is visible" if probe == shape
+         else "no, none can be seen",
+         "Presence", "closed"),
+    ]
 
 
 def _draw(shape: str, color: Tuple[int, int, int], count: int,
@@ -48,13 +82,16 @@ def _draw(shape: str, color: Tuple[int, int, int], count: int,
 
 def generate_synthetic_slake(
     root: str, *, n_train: int = 64, n_validate: int = 16, n_test: int = 16,
-    image_size: int = 64, seed: int = 0,
+    image_size: int = 64, seed: int = 0, answer_style: str = "short",
 ) -> Dict[str, List[dict]]:
     """Write {root}/{train,validate,test}.json + imgs/*.png. Returns entries.
 
     Each image gets three QA pairs (shape / color / presence) across open
     and closed answer types, mirroring SLAKE's schema fields (qid, img_name,
     question, answer, q_lang, content_type, answer_type).
+
+    ``answer_style="open"`` swaps in long questions with multi-token
+    answers (see :func:`_open_qa`) — the de-skewed serving-bench corpus.
     """
     rng = random.Random(seed)
     os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
@@ -74,12 +111,17 @@ def generate_synthetic_slake(
             img_id += 1
             arr = _draw(shape, _COLORS[color_name], count, image_size, rng)
             Image.fromarray(arr).save(os.path.join(root, "imgs", name))
-            qa = [
-                ("what shape is shown in the image?", shape, "Shape", "open"),
-                (f"what color is the {shape}?", color_name, "Color", "open"),
-                (f"is there a {rng.choice(_SHAPES)} in the image?",
-                 None, "Presence", "closed"),
-            ]
+            if answer_style == "open":
+                qa = _open_qa(shape, color_name, count, rng)
+            else:
+                qa = [
+                    ("what shape is shown in the image?", shape,
+                     "Shape", "open"),
+                    (f"what color is the {shape}?", color_name,
+                     "Color", "open"),
+                    (f"is there a {rng.choice(_SHAPES)} in the image?",
+                     None, "Presence", "closed"),
+                ]
             for question, answer, task, atype in qa:
                 if answer is None:
                     asked = question.split("is there a ")[1].split(" in")[0]

@@ -73,3 +73,25 @@ def test_ans2label_spans_all_splits(tmp_path):
     label2ans, ans2label = create_ans2label(tr, va)
     assert set(ans2label) == {"a", "b", "yes"}
     assert [label2ans[i] for i in range(3)] == sorted(ans2label)
+
+
+def test_synthetic_open_corpus_multi_token_answers(tmp_path):
+    """answer_style="open" (the de-skewed bench corpus, VERDICT r2 item 2):
+    every answer is a multi-word phrase (>= 4 words -> >= 4 T5 tokens) and
+    questions run long, while the SLAKE schema stays identical."""
+    from multimodalpromptretrieval_tpu.data.synthetic import (
+        generate_synthetic_slake,
+    )
+
+    out = generate_synthetic_slake(
+        str(tmp_path / "SLAKE"), n_train=6, n_validate=2, n_test=2,
+        image_size=16, seed=1, answer_style="open")
+    entries = out["train"]
+    assert len(entries) == 18
+    for e in entries:
+        assert set(e) == {"qid", "img_name", "question", "answer",
+                         "q_lang", "content_type", "answer_type"}
+        assert len(e["answer"].split()) >= 4
+        assert len(e["question"].split()) >= 10
+    # both answer types still present (closed answers are phrases too)
+    assert {e["answer_type"] for e in entries} == {"open", "closed"}
