@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from multimodalpromptretrieval_tpu.ops.attention import multi_head_attention
 from multimodalpromptretrieval_tpu.ops.decode_attention import (
+    block_attention_indicator,
     decode_attention,
     decode_attention_fused,
     decode_attention_indicator,
@@ -800,11 +801,23 @@ def t5_spec_greedy_decode(
     actually pays for (docs/TPU_NOTES.md).
 
     Per-row mechanics (the NEXT_STEPS r2 design): per-row decode
-    positions ``n``, K/V scatters at per-row offsets, per-row bias rows
+    positions ``n``, per-row K/V cache writes, per-row bias rows
     gathered from the full (H, Tc, Tc) table, per-(row, query) validity
     folded into the additive bias. Rejected/bonus cache slots hold stale
     K/V but sit at or beyond each row's frontier, where the next pass
     rewrites them before any masked read can see them.
+
+    TPU cost shape (bisected on v5e, scripts/probe_decode_step.py): the
+    first cut used jnp scatters for the per-row-offset cache writes and
+    head-layout einsum attention — 14.5 ms/pass at B=512 (10x a lockstep
+    step; slower end-to-end than not drafting at all). The production
+    pass instead (a) writes the cache with a one-hot matmul + masked
+    select (no TPU scatter: two full-bandwidth passes over the layer's
+    cache), and (b) runs block attention on the ROW-layout caches via
+    the 0/1 head-indicator GEMMs (ops/decode_attention.
+    block_attention_indicator) — no (B, T, H, Dh) relayout copies of
+    the self/cross caches per pass. ``cfg.decode_attention_impl="xla"``
+    keeps the head-einsum variant as the parity reference.
 
     Reference behavior covered: greedy generate(max_new_tokens)
     (architectures/T5VisionModel.py:200-205), exact per-row EOS stop.
@@ -866,30 +879,59 @@ def t5_spec_greedy_decode(
         def pick(tree, li):
             return jax.tree.map(lambda a: a[li], tree)
 
+        # one-hot per-row write map, shared by every layer's cache update:
+        # row b writes block position j into cache slot n[b]+j (slots are
+        # distinct within a row by construction, so the one-hot matmul
+        # sums at most one contribution per (b, t))
+        onehot = (kpos[None, None, :] == qpos[:, :, None])      # (B,S+1,Tc)
+        written = jnp.any(onehot, axis=1)                       # (B, Tc)
+        indicator = cfg.decode_attention_impl != "xla"
+
+        def cache_write(cache, li, new):
+            # masked select instead of a TPU scatter: one-hot matmul
+            # builds the delta, a full-bandwidth where() merges it
+            delta = jnp.einsum("bjt,bjw->btw", onehot.astype(new.dtype),
+                               new)
+            merged = jnp.where(written[:, :, None], delta, cache[li])
+            return jax.lax.dynamic_update_index_in_dim(
+                cache, merged, li, 0)
+
+        # (B, S+1, H, Tc) additive bias for the indicator path's
+        # (B, S+1, Tc, H) score layout / the xla path's (B, H, Lq, Lk)
+        bias_bshj = jnp.transpose(bias_eff, (0, 2, 1, 3))
+
         for li in range(Lyrs):
             p = pick(dec["block"], li)
             h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
             qkv = dense(h, kslice(qkv_w, li))                   # (B,S+1,3W)
             q, k_new, v_new = (qkv[..., :W], qkv[..., W:2 * W],
                                qkv[..., 2 * W:])
-            # per-row-offset cache scatter (positions n..n+S, disjoint
-            # within a row by construction)
-            self_k = self_k.at[li, brow[:, None], qpos, :].set(k_new)
-            self_v = self_v.at[li, brow[:, None], qpos, :].set(v_new)
-            o = multi_head_attention(
-                heads(q, S + 1), heads(self_k[li], Tc),
-                heads(self_v[li], Tc), bias=bias_eff, causal=False,
-                scale=1.0, impl="xla")
-            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S + 1, W)
+            self_k = cache_write(self_k, li, k_new)
+            self_v = cache_write(self_v, li, v_new)
+            if indicator:
+                o = block_attention_indicator(
+                    q, self_k[li], self_v[li], heads=H, bias=bias_bshj)
+            else:
+                o = multi_head_attention(
+                    heads(q, S + 1), heads(self_k[li], Tc),
+                    heads(self_v[li], Tc), bias=bias_eff, causal=False,
+                    scale=1.0, impl="xla")
+                o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S + 1, W)
             x = x + dense(o, p["self_attn"]["o"])
 
             h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
             qc = dense(h, p["cross_attn"]["q"])
-            oc = multi_head_attention(
-                heads(qc, S + 1), heads(cross_k[li], Lk),
-                heads(cross_v[li], Lk), bias=None, kv_mask=enc_kv_mask,
-                causal=False, scale=1.0, impl="xla")
-            oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(B, S + 1, W)
+            if indicator:
+                oc = block_attention_indicator(
+                    qc, cross_k[li], cross_v[li], heads=H,
+                    kv_mask=enc_kv_mask)
+            else:
+                oc = multi_head_attention(
+                    heads(qc, S + 1), heads(cross_k[li], Lk),
+                    heads(cross_v[li], Lk), bias=None,
+                    kv_mask=enc_kv_mask, causal=False, scale=1.0,
+                    impl="xla")
+                oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(B, S + 1, W)
             x = x + dense(oc, p["cross_attn"]["o"])
 
             h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)

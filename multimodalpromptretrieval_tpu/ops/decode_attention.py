@@ -135,6 +135,50 @@ def decode_attention_indicator(q, k, v, bias=None, kv_mask=None, *,
     return o.astype(q.dtype)
 
 
+def block_attention_indicator(q, k, v, *, heads: int, bias=None,
+                              kv_mask=None, scale: float = 1.0):
+    """Block-query (Lq=S) attention on row-layout caches via the same 0/1
+    head-indicator GEMMs as :func:`decode_attention_indicator` — the
+    speculative-verification pass's attention (models/t5.
+    t5_spec_greedy_decode): S draft positions attend the whole cache with
+    NO head-split transposes of K/V (the (B, T, H, Dh) relayout copies
+    were most of the naive block pass's cost on v5e).
+
+    q: (B, S, W); k, v: (B, T, W); bias: additive fp32 (B, S, H, T)
+    (per-row validity folded in by the caller); kv_mask: (B, T).
+    Returns (B, S, W). Same rounding points as the single-query
+    indicator path.
+    """
+    B, S, W = q.shape
+    T = k.shape[1]
+    H = heads
+    Dh = W // H
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (W, H), 0) // Dh
+           == jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+           ).astype(q.dtype)
+    prod = q[:, :, None, :] * k[:, None, :, :].astype(q.dtype)  # (B,S,T,W)
+    s = jax.lax.dot_general(
+        prod.reshape(B * S * T, W), seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(B, S, T, H)
+    s = s.astype(q.dtype).astype(jnp.float32)  # reference rounding point
+    if scale != 1.0:
+        s = s * scale
+    if bias is not None:
+        s = s + jnp.transpose(bias, (0, 1, 3, 2))  # (B,S,H,T)->(B,S,T,H)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, :, None] != 0, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=2)  # over T
+    p = p.astype(q.dtype)  # reference rounding point
+    p_exp = jax.lax.dot_general(
+        p.reshape(B * S * T, H), seg, (((1,), (1,)), ((), ())),
+        preferred_element_type=q.dtype,
+        precision=jax.lax.Precision.HIGHEST).reshape(B, S, T, W)
+    o = jnp.sum(p_exp.astype(jnp.float32)
+                * v[:, None, :, :].astype(jnp.float32), axis=2)
+    return o.astype(q.dtype)
+
+
 def _make_kernel(Bb, T, W, H, Dh, scale, has_bias, has_mask):
     """Flat-2D formulation (Mosaic-friendly): broadcasting a (Bb, 1, Dh)
     query over the sublane dim of a (Bb, T, Dh) key block fails the TPU

@@ -1,0 +1,126 @@
+"""Decode-step latency breakdown (VERDICT r3 item 6).
+
+The serve decode runs ~1.2 ms/step at B=512 vs a ~0.22 ms arithmetic
+floor. This probe isolates where the per-step remainder lives by timing
+20-step greedy decodes with components ablated:
+
+  full         — production step (indicator attention, bias row, LM head)
+  xla          — decode_attention_impl="xla" (einsum reference)
+  no_cross     — cross-attention output zeroed (cache reads removed by
+                 DCE): bounds the cross-KV bandwidth share
+  no_lmhead    — argmax over a 512-wide slice of the vocab only: bounds
+                 the LM-head GEMM + (B, 32128) argmax share
+  spec4/spec8  — t5_spec_greedy_decode with perfect drafts (the serving
+                 case for a trained model): per-ACCEPTED-token cost
+
+Run on the real chip:  python scripts/probe_decode_step.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--t5", default="t5-small",
+                   choices=["t5-small", "t5-base", "t5-large"])
+    p.add_argument("--enc-len", type=int, default=82)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodalpromptretrieval_tpu.models import t5 as jt5
+
+    cfg = dataclasses.replace(jt5.T5Config.from_version(args.t5),
+                              attention_impl="row")
+    params = jt5.init_t5(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    rng = np.random.default_rng(0)
+    B, L, T = args.batch, args.enc_len, args.steps
+    enc = jnp.asarray(rng.normal(size=(B, L, cfg.d_model)), jnp.bfloat16)
+    mask = jnp.ones((B, L), jnp.int32)
+
+    def timed(fn, *a):
+        np.asarray(fn(*a))  # compile + warm
+        np.asarray(fn(*a))  # second warm (layout settle)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    results = {}
+
+    full = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+        params, cfg, e, m, max_new_tokens=T, early_stop=False))
+    results["full"] = timed(full, enc, mask)
+
+    cfg_x = dataclasses.replace(cfg, decode_attention_impl="xla")
+    xla = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+        params, cfg_x, e, m, max_new_tokens=T, early_stop=False))
+    results["xla"] = timed(xla, enc, mask)
+
+    # no_cross: zero the cross-attention projection kernels — XLA folds
+    # the zero GEMMs + DCEs the cross-cache reads, leaving the rest of
+    # the step intact
+    p_nc = jax.tree.map(lambda x: x, params)
+    import copy
+
+    p_nc = copy.deepcopy(jax.device_get(params))
+    for key in ("k", "v"):
+        p_nc["decoder"]["block"]["cross_attn"][key] = (
+            np.zeros_like(p_nc["decoder"]["block"]["cross_attn"][key]))
+    p_nc = jax.device_put(p_nc)
+    no_cross = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+        p_nc, cfg, e, m, max_new_tokens=T, early_stop=False))
+    results["no_cross(zeroKV)"] = timed(no_cross, enc, mask)
+
+    # no_lmhead: shrink the tied head to 512 rows (argmax over a slice):
+    # bounds the (B, 32128) GEMM+argmax share. Token ids differ — timing
+    # only.
+    p_sh = jax.device_get(params)
+    p_sh["shared"] = p_sh["shared"][:512]
+    cfg_sh = dataclasses.replace(cfg, vocab_size=512)
+    p_sh = jax.device_put(p_sh)
+    no_head = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+        p_sh, cfg_sh, e, m, max_new_tokens=T, early_stop=False))
+    results["small_lmhead(512)"] = timed(no_head, enc, mask)
+
+    # speculative decode with perfect drafts: tokens/pass = block+1
+    ref = np.asarray(full(enc, mask))
+    draft = jnp.asarray(ref[:, 1:])
+    for S in (4, 8):
+        spec = jax.jit(lambda e, m, d, S=S: jt5.t5_spec_greedy_decode(
+            params, cfg, e, m, d, max_new_tokens=T, block=S))
+        ms = timed(spec, enc, mask, draft)
+        results[f"spec{S}_perfect"] = ms
+
+    print(f"B={B} L={L} steps={T} iters={args.iters}")
+    for k, v in results.items():
+        per = v / T
+        print(f"{k:22s} {v:8.2f} ms   ({per:.3f} ms/step-equiv)")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,46 @@ def test_ring_gradients(seq_mesh):
     for gr, gf in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_sp_t5_encode_matches_t5_encode_L4096(seq_mesh):
+    """The SP consumer (sp_t5_encode): FULL T5 encoder with on-the-fly
+    relative-position bias tiles over a ("data","seq") mesh == the
+    single-device t5_encode at L=4096 — a length whose (H, L, L) bias
+    table would never be materialized, and which crosses the
+    max_distance=128 bucket tail many chunks over."""
+    from multimodalpromptretrieval_tpu.models import t5 as jt5
+
+    cfg = jt5.T5Config.tiny(vocab_size=64)
+    params = jt5.init_t5(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(9)
+    B, L = 2, 4096
+    embeds = jnp.asarray(
+        rng.normal(size=(B, L, cfg.d_model)).astype(np.float32))
+    mask = np.ones((B, L), np.int32)
+    mask[1, -700:] = 0  # padding crossing a chunk boundary
+    ref = jt5.t5_encode(params, cfg, embeds, jnp.asarray(mask))
+    got = sp.sp_t5_encode(params, cfg, embeds, jnp.asarray(mask),
+                          seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sp_t5_encode_matches_at_serving_length(seq_mesh):
+    """Same at the serving-scale length (L=64, bucketed width): the wired
+    path is exact at short lengths too, not only in the long regime."""
+    from multimodalpromptretrieval_tpu.models import t5 as jt5
+
+    cfg = jt5.T5Config.tiny(vocab_size=64)
+    params = jt5.init_t5(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(10)
+    B, L = 4, 64
+    embeds = jnp.asarray(
+        rng.normal(size=(B, L, cfg.d_model)).astype(np.float32))
+    mask = np.ones((B, L), np.int32)
+    mask[0, -5:] = 0
+    ref = jt5.t5_encode(params, cfg, embeds, jnp.asarray(mask))
+    got = sp.sp_t5_encode(params, cfg, embeds, jnp.asarray(mask),
+                          seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
