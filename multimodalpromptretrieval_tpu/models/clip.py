@@ -148,6 +148,13 @@ def init_clip(key, cfg: CLIPConfig) -> Params:
     }
 
 
+# grouped block-diagonal packing candidates for short-sequence row
+# attention, largest preferred (see the comment inside _transformer).
+# G=8 swept best on v5e at L=16 (scripts/probe_text_tower.py --sweep);
+# module-level so probes can sweep it without editing the tower.
+_PACK_GROUPS = (8, 4, 2)
+
+
 def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
                  causal: bool, attention_impl: str) -> jnp.ndarray:
     B, L, W = x.shape
@@ -185,7 +192,7 @@ def _transformer(blocks: Params, x: jnp.ndarray, heads: int, *,
         group = 1
         bias = None
         if L <= 32:
-            group = next((g for g in (8, 4, 2) if B % g == 0), 1)
+            group = next((g for g in _PACK_GROUPS if B % g == 0), 1)
         if group > 1:
             pos = jnp.arange(group * L) // L
             blockdiag = jnp.where(pos[:, None] == pos[None, :], 0.0, -1e9)

@@ -38,7 +38,14 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--platform", default=None)
+    p.add_argument("--only", default="",
+                   help="comma list of variants to run (default all): "
+                        "full,xla,no_cross,small_lmhead,spec4,spec8")
     args = p.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     import jax
 
@@ -74,47 +81,53 @@ def main():
 
     full = jax.jit(lambda e, m: jt5.t5_greedy_decode(
         params, cfg, e, m, max_new_tokens=T, early_stop=False))
-    results["full"] = timed(full, enc, mask)
+    if want("full") or want("spec4") or want("spec8"):
+        results["full"] = timed(full, enc, mask)
 
     cfg_x = dataclasses.replace(cfg, decode_attention_impl="xla")
-    xla = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-        params, cfg_x, e, m, max_new_tokens=T, early_stop=False))
-    results["xla"] = timed(xla, enc, mask)
+    if want("xla"):
+        xla = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+            params, cfg_x, e, m, max_new_tokens=T, early_stop=False))
+        results["xla"] = timed(xla, enc, mask)
 
     # no_cross: zero the cross-attention projection kernels — XLA folds
     # the zero GEMMs + DCEs the cross-cache reads, leaving the rest of
     # the step intact
-    p_nc = jax.tree.map(lambda x: x, params)
-    import copy
+    if want("no_cross"):
+        import copy
 
-    p_nc = copy.deepcopy(jax.device_get(params))
-    for key in ("k", "v"):
-        p_nc["decoder"]["block"]["cross_attn"][key] = (
-            np.zeros_like(p_nc["decoder"]["block"]["cross_attn"][key]))
-    p_nc = jax.device_put(p_nc)
-    no_cross = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-        p_nc, cfg, e, m, max_new_tokens=T, early_stop=False))
-    results["no_cross(zeroKV)"] = timed(no_cross, enc, mask)
+        p_nc = copy.deepcopy(jax.device_get(params))
+        for key in ("k", "v"):
+            p_nc["decoder"]["block"]["cross_attn"][key] = (
+                np.zeros_like(p_nc["decoder"]["block"]["cross_attn"][key]))
+        p_nc = jax.device_put(p_nc)
+        no_cross = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+            p_nc, cfg, e, m, max_new_tokens=T, early_stop=False))
+        results["no_cross(zeroKV)"] = timed(no_cross, enc, mask)
 
     # no_lmhead: shrink the tied head to 512 rows (argmax over a slice):
     # bounds the (B, 32128) GEMM+argmax share. Token ids differ — timing
     # only.
-    p_sh = jax.device_get(params)
-    p_sh["shared"] = p_sh["shared"][:512]
-    cfg_sh = dataclasses.replace(cfg, vocab_size=512)
-    p_sh = jax.device_put(p_sh)
-    no_head = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-        p_sh, cfg_sh, e, m, max_new_tokens=T, early_stop=False))
-    results["small_lmhead(512)"] = timed(no_head, enc, mask)
+    if want("small_lmhead"):
+        p_sh = jax.device_get(params)
+        p_sh["shared"] = p_sh["shared"][:512]
+        cfg_sh = dataclasses.replace(cfg, vocab_size=512)
+        p_sh = jax.device_put(p_sh)
+        no_head = jax.jit(lambda e, m: jt5.t5_greedy_decode(
+            p_sh, cfg_sh, e, m, max_new_tokens=T, early_stop=False))
+        results["small_lmhead(512)"] = timed(no_head, enc, mask)
 
     # speculative decode with perfect drafts: tokens/pass = block+1
-    ref = np.asarray(full(enc, mask))
-    draft = jnp.asarray(ref[:, 1:])
-    for S in (4, 8):
-        spec = jax.jit(lambda e, m, d, S=S: jt5.t5_spec_greedy_decode(
-            params, cfg, e, m, d, max_new_tokens=T, block=S))
-        ms = timed(spec, enc, mask, draft)
-        results[f"spec{S}_perfect"] = ms
+    if want("spec4") or want("spec8"):
+        ref = np.asarray(full(enc, mask))
+        draft = jnp.asarray(ref[:, 1:])
+        for S in (4, 8):
+            if not want(f"spec{S}"):
+                continue
+            spec = jax.jit(lambda e, m, d, S=S: jt5.t5_spec_greedy_decode(
+                params, cfg, e, m, d, max_new_tokens=T, block=S))
+            ms = timed(spec, enc, mask, draft)
+            results[f"spec{S}_perfect"] = ms
 
     print(f"B={B} L={L} steps={T} iters={args.iters}")
     for k, v in results.items():
