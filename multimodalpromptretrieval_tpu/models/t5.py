@@ -82,6 +82,15 @@ class T5Config:
     # identical) | "xla" (head-layout caches + einsum; the parity
     # reference) | "pallas" (fused row kernel; sequencer-bound here)
     decode_attention_impl: str = "indicator"
+    # Decode-loop layer iteration. "unroll" (default): layers statically
+    # unrolled so the KV caches stay direct while_loop carry members and
+    # XLA proves the dynamic_update_slice chains in-place — fastest, but
+    # the serialized HLO grows with depth (t5-base/large graphs exceed
+    # this environment's remote-compile upload limit, HTTP 413 —
+    # docs/TPU_NOTES.md). "scan": one lax.scan over the stacked layers —
+    # tiny HLO at any depth, at the documented cost of re-stacking the
+    # scanned caches every step (~2x cache HBM traffic per token).
+    decode_layers: str = "unroll"  # "unroll" | "scan"
     remat: bool = False  # jax.checkpoint each layer (activation recompute)
 
     @property
@@ -733,21 +742,79 @@ def t5_greedy_decode(
                 causal=False, scale=1.0, impl="xla")
             return jnp.transpose(o, (0, 2, 1, 3)).reshape(B, W)
 
-        for li in range(Lyrs):
-            p = pick(dec["block"], li)
-            h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, kslice(qkv_w, li))  # (B, 3W)
-            q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:])
-            o, self_k, self_v = self_attention(
-                li, q, k_new, v_new, self_k, self_v)
-            x = x + dense(o, p["self_attn"]["o"])
+        if cfg.decode_layers == "scan":
+            # Depth-proportional HLO is the unroll's weakness (the
+            # tunnel's remote compiler rejects t5-base/large graphs —
+            # HTTP 413, docs/TPU_NOTES.md); one scanned layer keeps the
+            # program tiny at any depth. The scanned caches come back as
+            # re-stacked ys (the ~2x cache-traffic trade the comment
+            # above describes). Same math, same rng-free step — greedy
+            # ids identical (tests/test_t5_parity.py::
+            # test_scan_decode_layers_matches_unroll).
+            def layer_fn(xc, xs):
+                p, qw, ck, cv, sk, sv = xs
+                h = rms_norm(xc, p["self_ln"], cfg.layer_norm_epsilon)
+                qkv = dense(h, qw)
+                q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W],
+                                   qkv[:, 2 * W:])
+                if row:
+                    sk = jax.lax.dynamic_update_slice(
+                        sk, k_new[:, None, :], (0, t, 0))
+                    sv = jax.lax.dynamic_update_slice(
+                        sv, v_new[:, None, :], (0, t, 0))
+                    o = attend(q, sk, sv, bias=bias_row, kv_mask=None,
+                               heads=H, scale=1.0)
+                else:
+                    sk = jax.lax.dynamic_update_slice(
+                        sk, k_new.reshape(B, H, Dh)[:, :, None, :],
+                        (0, 0, t, 0))
+                    sv = jax.lax.dynamic_update_slice(
+                        sv, v_new.reshape(B, H, Dh)[:, :, None, :],
+                        (0, 0, t, 0))
+                    o = multi_head_attention(
+                        q.reshape(B, H, Dh)[:, :, None, :], sk, sv,
+                        bias=bias_row[None, :, None, :], causal=False,
+                        scale=1.0, impl="xla")
+                    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, W)
+                xc = xc + dense(o, p["self_attn"]["o"])
 
-            h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
-            q = dense(h, p["cross_attn"]["q"])
-            x = x + dense(cross_attention(li, q), p["cross_attn"]["o"])
+                h = rms_norm(xc, p["cross_ln"], cfg.layer_norm_epsilon)
+                qc = dense(h, p["cross_attn"]["q"])
+                if row:
+                    oc = attend(qc, ck, cv, bias=None,
+                                kv_mask=enc_kv_mask, heads=H, scale=1.0)
+                else:
+                    oc = multi_head_attention(
+                        qc.reshape(B, H, Dh)[:, :, None, :], ck, cv,
+                        bias=None, kv_mask=enc_kv_mask, causal=False,
+                        scale=1.0, impl="xla")
+                    oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(B, W)
+                xc = xc + dense(oc, p["cross_attn"]["o"])
 
-            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-            x = x + _ff_block(p["ff"], cfg, h)
+                h = rms_norm(xc, p["ff_ln"], cfg.layer_norm_epsilon)
+                xc = xc + _ff_block(p["ff"], cfg, h)
+                return xc, (sk, sv)
+
+            x, (self_k, self_v) = jax.lax.scan(
+                layer_fn, x,
+                (dec["block"], qkv_w, cross_k, cross_v, self_k, self_v))
+        else:
+            for li in range(Lyrs):
+                p = pick(dec["block"], li)
+                h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
+                qkv = dense(h, kslice(qkv_w, li))  # (B, 3W)
+                q, k_new, v_new = (qkv[:, :W], qkv[:, W:2 * W],
+                                   qkv[:, 2 * W:])
+                o, self_k, self_v = self_attention(
+                    li, q, k_new, v_new, self_k, self_v)
+                x = x + dense(o, p["self_attn"]["o"])
+
+                h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+                q = dense(h, p["cross_attn"]["q"])
+                x = x + dense(cross_attention(li, q), p["cross_attn"]["o"])
+
+                h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
+                x = x + _ff_block(p["ff"], cfg, h)
         x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
         x = x * (cfg.d_model**-0.5)
         logits = jnp.dot(x, params["shared"].T.astype(x.dtype))
@@ -887,55 +954,70 @@ def t5_spec_greedy_decode(
         written = jnp.any(onehot, axis=1)                       # (B, Tc)
         indicator = cfg.decode_attention_impl != "xla"
 
-        def cache_write(cache, li, new):
-            # masked select instead of a TPU scatter: one-hot matmul
-            # builds the delta, a full-bandwidth where() merges it
-            delta = jnp.einsum("bjt,bjw->btw", onehot.astype(new.dtype),
-                               new)
-            merged = jnp.where(written[:, :, None], delta, cache[li])
-            return jax.lax.dynamic_update_index_in_dim(
-                cache, merged, li, 0)
-
         # (B, S+1, H, Tc) additive bias for the indicator path's
         # (B, S+1, Tc, H) score layout / the xla path's (B, H, Lq, Lk)
         bias_bshj = jnp.transpose(bias_eff, (0, 2, 1, 3))
 
-        for li in range(Lyrs):
-            p = pick(dec["block"], li)
-            h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
-            qkv = dense(h, kslice(qkv_w, li))                   # (B,S+1,3W)
+        def layer_body(xc, p, qw, ck, cv, sk, sv):
+            """One decoder layer of the verification pass over PER-LAYER
+            cache slices sk/sv (B, Tc, W); returns (x, sk, sv). The cache
+            update is a one-hot matmul + masked select (no TPU scatter:
+            two full-bandwidth passes over the layer's cache)."""
+            h = rms_norm(xc, p["self_ln"], cfg.layer_norm_epsilon)
+            qkv = dense(h, qw)                                  # (B,S+1,3W)
             q, k_new, v_new = (qkv[..., :W], qkv[..., W:2 * W],
                                qkv[..., 2 * W:])
-            self_k = cache_write(self_k, li, k_new)
-            self_v = cache_write(self_v, li, v_new)
+            dk = jnp.einsum("bjt,bjw->btw", onehot.astype(k_new.dtype),
+                            k_new)
+            dv = jnp.einsum("bjt,bjw->btw", onehot.astype(v_new.dtype),
+                            v_new)
+            sk = jnp.where(written[:, :, None], dk, sk)
+            sv = jnp.where(written[:, :, None], dv, sv)
             if indicator:
                 o = block_attention_indicator(
-                    q, self_k[li], self_v[li], heads=H, bias=bias_bshj)
+                    q, sk, sv, heads=H, bias=bias_bshj)
             else:
                 o = multi_head_attention(
-                    heads(q, S + 1), heads(self_k[li], Tc),
-                    heads(self_v[li], Tc), bias=bias_eff, causal=False,
-                    scale=1.0, impl="xla")
+                    heads(q, S + 1), heads(sk, Tc), heads(sv, Tc),
+                    bias=bias_eff, causal=False, scale=1.0, impl="xla")
                 o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S + 1, W)
-            x = x + dense(o, p["self_attn"]["o"])
+            xc = xc + dense(o, p["self_attn"]["o"])
 
-            h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
+            h = rms_norm(xc, p["cross_ln"], cfg.layer_norm_epsilon)
             qc = dense(h, p["cross_attn"]["q"])
             if indicator:
                 oc = block_attention_indicator(
-                    qc, cross_k[li], cross_v[li], heads=H,
-                    kv_mask=enc_kv_mask)
+                    qc, ck, cv, heads=H, kv_mask=enc_kv_mask)
             else:
                 oc = multi_head_attention(
-                    heads(qc, S + 1), heads(cross_k[li], Lk),
-                    heads(cross_v[li], Lk), bias=None,
-                    kv_mask=enc_kv_mask, causal=False, scale=1.0,
-                    impl="xla")
+                    heads(qc, S + 1), heads(ck, Lk), heads(cv, Lk),
+                    bias=None, kv_mask=enc_kv_mask, causal=False,
+                    scale=1.0, impl="xla")
                 oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(B, S + 1, W)
-            x = x + dense(oc, p["cross_attn"]["o"])
+            xc = xc + dense(oc, p["cross_attn"]["o"])
 
-            h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-            x = x + _ff_block(p["ff"], cfg, h)
+            h = rms_norm(xc, p["ff_ln"], cfg.layer_norm_epsilon)
+            return xc + _ff_block(p["ff"], cfg, h), sk, sv
+
+        if cfg.decode_layers == "scan":
+            # depth-proportional HLO workaround, same as t5_greedy_decode
+            def scan_fn(xc, xs):
+                p, qw, ck, cv, sk, sv = xs
+                xc, sk, sv = layer_body(xc, p, qw, ck, cv, sk, sv)
+                return xc, (sk, sv)
+
+            x, (self_k, self_v) = jax.lax.scan(
+                scan_fn, x,
+                (dec["block"], qkv_w, cross_k, cross_v, self_k, self_v))
+        else:
+            for li in range(Lyrs):
+                x, sk, sv = layer_body(
+                    x, pick(dec["block"], li), kslice(qkv_w, li),
+                    cross_k[li], cross_v[li], self_k[li], self_v[li])
+                self_k = jax.lax.dynamic_update_index_in_dim(
+                    self_k, sk, li, 0)
+                self_v = jax.lax.dynamic_update_index_in_dim(
+                    self_v, sv, li, 0)
         x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
         x = x * (cfg.d_model**-0.5)
         logits = jnp.dot(x, params["shared"].T.astype(x.dtype))

@@ -34,6 +34,11 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--t5", default="t5-small",
                    choices=["t5-small", "t5-base", "t5-large"])
+    p.add_argument("--decode-layers", default="unroll",
+                   choices=["unroll", "scan"],
+                   help="scan: tiny HLO at any depth (the unrolled "
+                        "t5-base/large graphs exceed the tunnel's "
+                        "remote-compile upload limit, HTTP 413)")
     p.add_argument("--enc-len", type=int, default=82)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=10)
@@ -58,7 +63,8 @@ def main():
     from multimodalpromptretrieval_tpu.models import t5 as jt5
 
     cfg = dataclasses.replace(jt5.T5Config.from_version(args.t5),
-                              attention_impl="row")
+                              attention_impl="row",
+                              decode_layers=args.decode_layers)
     params = jt5.init_t5(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -79,16 +85,21 @@ def main():
 
     results = {}
 
-    full = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-        params, cfg, e, m, max_new_tokens=T, early_stop=False))
+    # params go as jit ARGUMENTS, not closure captures: captured
+    # arrays ride the remote-compile request body, and t5-base/large
+    # weights blow the tunnel's upload limit (HTTP 413)
+    full_fn = jax.jit(lambda p, e, m: jt5.t5_greedy_decode(
+        p, cfg, e, m, max_new_tokens=T, early_stop=False))
+    full = lambda e, m: full_fn(params, e, m)  # noqa: E731
     if want("full") or want("spec4") or want("spec8"):
         results["full"] = timed(full, enc, mask)
 
     cfg_x = dataclasses.replace(cfg, decode_attention_impl="xla")
     if want("xla"):
-        xla = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-            params, cfg_x, e, m, max_new_tokens=T, early_stop=False))
-        results["xla"] = timed(xla, enc, mask)
+        xla_fn = jax.jit(lambda p, e, m: jt5.t5_greedy_decode(
+            p, cfg_x, e, m, max_new_tokens=T, early_stop=False))
+        results["xla"] = timed(lambda e, m: xla_fn(params, e, m),
+                               enc, mask)
 
     # no_cross: zero the cross-attention projection kernels — XLA folds
     # the zero GEMMs + DCEs the cross-cache reads, leaving the rest of
@@ -101,9 +112,10 @@ def main():
             p_nc["decoder"]["block"]["cross_attn"][key] = (
                 np.zeros_like(p_nc["decoder"]["block"]["cross_attn"][key]))
         p_nc = jax.device_put(p_nc)
-        no_cross = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-            p_nc, cfg, e, m, max_new_tokens=T, early_stop=False))
-        results["no_cross(zeroKV)"] = timed(no_cross, enc, mask)
+        nc_fn = jax.jit(lambda p, e, m: jt5.t5_greedy_decode(
+            p, cfg, e, m, max_new_tokens=T, early_stop=False))
+        results["no_cross(zeroKV)"] = timed(
+            lambda e, m: nc_fn(p_nc, e, m), enc, mask)
 
     # no_lmhead: shrink the tied head to 512 rows (argmax over a slice):
     # bounds the (B, 32128) GEMM+argmax share. Token ids differ — timing
@@ -113,9 +125,10 @@ def main():
         p_sh["shared"] = p_sh["shared"][:512]
         cfg_sh = dataclasses.replace(cfg, vocab_size=512)
         p_sh = jax.device_put(p_sh)
-        no_head = jax.jit(lambda e, m: jt5.t5_greedy_decode(
-            p_sh, cfg_sh, e, m, max_new_tokens=T, early_stop=False))
-        results["small_lmhead(512)"] = timed(no_head, enc, mask)
+        sh_fn = jax.jit(lambda p, e, m: jt5.t5_greedy_decode(
+            p, cfg_sh, e, m, max_new_tokens=T, early_stop=False))
+        results["small_lmhead(512)"] = timed(
+            lambda e, m: sh_fn(p_sh, e, m), enc, mask)
 
     # speculative decode with perfect drafts: tokens/pass = block+1
     if want("spec4") or want("spec8"):
@@ -124,9 +137,11 @@ def main():
         for S in (4, 8):
             if not want(f"spec{S}"):
                 continue
-            spec = jax.jit(lambda e, m, d, S=S: jt5.t5_spec_greedy_decode(
-                params, cfg, e, m, d, max_new_tokens=T, block=S))
-            ms = timed(spec, enc, mask, draft)
+            spec_fn = jax.jit(
+                lambda p, e, m, d, S=S: jt5.t5_spec_greedy_decode(
+                    p, cfg, e, m, d, max_new_tokens=T, block=S))
+            ms = timed(lambda e, m, d: spec_fn(params, e, m, d),
+                       enc, mask, draft)
             results[f"spec{S}_perfect"] = ms
 
     print(f"B={B} L={L} steps={T} iters={args.iters}")

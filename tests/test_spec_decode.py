@@ -119,3 +119,18 @@ def test_spec_decode_jits_and_caps_iterations(setup):
         params, CFG, e, m, d, max_new_tokens=T, block=8))
     got = np.asarray(fn(enc, mask, jnp.asarray(ref[:, 1:])))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_scan_layers_spec_matches_unroll(setup):
+    """decode_layers="scan" (depth-proportional-HLO workaround for the
+    remote-compile size limit): identical tokens to the unrolled pass."""
+    params, enc, mask = setup
+    cfg_s = dataclasses.replace(CFG, decode_layers="scan")
+    T = 12
+    ref = _reference(params, enc, mask, T)
+    draft = np.array(ref[:, 1:], np.int32)
+    draft[1, 1:] = 9
+    got = np.asarray(jt5.t5_spec_greedy_decode(
+        params, cfg_s, enc, mask, jnp.asarray(draft), max_new_tokens=T,
+        block=4))
+    np.testing.assert_array_equal(got, ref)

@@ -217,3 +217,22 @@ def test_row_impl_encoder_honors_remat():
     for a, b in zip(jax.tree.leaves(g_remat), jax.tree.leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_scan_decode_layers_matches_unroll(pair):
+    """decode_layers="scan" greedy decode == the unrolled default (both
+    cache layouts), token for token."""
+    import dataclasses
+
+    hf, cfg, params = pair
+    embeds, mask, _ = _random_batch(31, B=4, L=10)
+    enc = jt5.t5_encode(params, cfg, jnp.asarray(embeds),
+                        jnp.asarray(mask))
+    for base in (cfg, dataclasses.replace(cfg,
+                                          decode_attention_impl="xla")):
+        ref = np.asarray(jt5.t5_greedy_decode(
+            params, base, enc, jnp.asarray(mask), max_new_tokens=7))
+        got = np.asarray(jt5.t5_greedy_decode(
+            params, dataclasses.replace(base, decode_layers="scan"),
+            enc, jnp.asarray(mask), max_new_tokens=7))
+        np.testing.assert_array_equal(got, ref)
