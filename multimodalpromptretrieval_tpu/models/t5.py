@@ -743,14 +743,17 @@ def t5_greedy_decode(
             return jnp.transpose(o, (0, 2, 1, 3)).reshape(B, W)
 
         if cfg.decode_layers == "scan":
-            # Depth-proportional HLO is the unroll's weakness (the
-            # tunnel's remote compiler rejects t5-base/large graphs —
-            # HTTP 413, docs/TPU_NOTES.md); one scanned layer keeps the
-            # program tiny at any depth. The scanned caches come back as
-            # re-stacked ys (the ~2x cache-traffic trade the comment
-            # above describes). Same math, same rng-free step — greedy
-            # ids identical (tests/test_t5_parity.py::
-            # test_scan_decode_layers_matches_unroll).
+            # One scanned layer keeps the program tiny at any depth
+            # (depth-proportional HLO is the unroll's weakness); the
+            # scanned caches come back as re-stacked ys — the ~2x
+            # cache-traffic trade the comment above describes.
+            # DELIBERATE duplication of the unrolled branch's layer math
+            # below (the unroll's helpers update the STACKED caches in
+            # place, which is what lets XLA prove the in-place chain —
+            # sharing one per-slice body would add a slice/writeback
+            # there): any edit to one branch must hit both, and
+            # tests/test_t5_parity.py::
+            # test_scan_decode_layers_matches_unroll pins them bit-equal.
             def layer_fn(xc, xs):
                 p, qw, ck, cv, sk, sv = xs
                 h = rms_norm(xc, p["self_ln"], cfg.layer_norm_epsilon)

@@ -236,10 +236,11 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
     tests/test_serve_fastpath.py).
 
     ``spec_block`` > 0 switches the decode to hint-draft speculative
-    verification: the step gains two trailing args (draft_ids, draft_len —
-    retrieval/hints.build_draft_tables rows indexed by dense answer id)
-    and drafts each row with its majority-vote answer's label tokens.
-    Token outputs are unchanged by construction."""
+    verification: the step gains one trailing arg (draft_ids —
+    retrieval/hints.build_draft_tables rows indexed by dense answer id;
+    rows are zero-padded, and pad ids past a draft's true length merely
+    stop matching) and drafts each row with its majority-vote answer's
+    label tokens. Token outputs are unchanged by construction."""
     import jax.numpy as jnp
 
     from multimodalpromptretrieval_tpu.models.clip import clip_encode_text
@@ -250,7 +251,7 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
     )
 
     def step(params, batch, index, index_sq, aid, hint_ids, hint_len,
-             draft_ids=None, draft_len=None):
+             draft_ids=None):
         params = mprgen.cast_compute(params, cfg)
         txt = clip_encode_text(params["clip"], cfg.clip,
                                batch["clip_text_ids"]).astype(jnp.float32)
@@ -276,7 +277,7 @@ def make_fused_serve_step(cfg: mprgen.MPRGenConfig, *, k: int,
         rep = replicated(mesh)
         shardings = [rep, batch_sharding(mesh), rep, rep, rep, rep, rep]
         if spec_block > 0:
-            shardings += [rep, rep]
+            shardings += [rep]
         kwargs["in_shardings"] = tuple(shardings)
         kwargs["out_shardings"] = batch_sharding(mesh)
     return jax.jit(step, **kwargs)

@@ -29,6 +29,7 @@ the model family has no MoE layers (T5-small/-large dense FF; SURVEY.md
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 from typing import Optional
 
@@ -149,6 +150,20 @@ def sp_t5_encode(params, cfg, embeds: jnp.ndarray,
     cap L at 562 where one chip wins outright — this path is the scaling
     story for contexts that outgrow a chip, not the default.
     """
+    jfn, x_spec, m_spec = _sp_t5_encode_fn(cfg, mesh, seq_axis, data_axis)
+    if mask is None:
+        mask = jnp.ones(embeds.shape[:2], jnp.bool_)
+    embeds = jax.device_put(embeds, NamedSharding(mesh, x_spec))
+    mask = jax.device_put(mask.astype(jnp.bool_),
+                          NamedSharding(mesh, m_spec))
+    return jfn(params, embeds, mask)
+
+
+@_functools.lru_cache(maxsize=16)
+def _sp_t5_encode_fn(cfg, mesh: Mesh, seq_axis: str, data_axis: str):
+    """Cached jitted shard_map for :func:`sp_t5_encode` — keyed by
+    (cfg, mesh, axes) so repeated calls reuse one compiled program
+    instead of rebuilding the closure (jit caches by function identity)."""
     from jax import shard_map
 
     from multimodalpromptretrieval_tpu.models import t5 as t5m
@@ -201,13 +216,7 @@ def sp_t5_encode(params, cfg, embeds: jnp.ndarray,
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), x_spec, m_spec),
                    out_specs=x_spec, check_vma=False)
-    jfn = jax.jit(fn)
-    if mask is None:
-        mask = jnp.ones(embeds.shape[:2], jnp.bool_)
-    embeds = jax.device_put(embeds, NamedSharding(mesh, x_spec))
-    mask = jax.device_put(mask.astype(jnp.bool_),
-                          NamedSharding(mesh, m_spec))
-    return jfn(params, embeds, mask)
+    return jax.jit(fn), x_spec, m_spec
 
 
 def make_sp_attention(mesh: Mesh, *, causal: bool = False,

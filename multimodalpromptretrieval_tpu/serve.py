@@ -482,8 +482,7 @@ class MPRServer:
                 mesh=exp.mesh)
             self._fused_key = fkey
         step = self._fused_predict
-        spec_args = ((self._draft_tables.ids, self._draft_tables.len)
-                     if spec else ())
+        spec_args = (self._draft_tables.ids,) if spec else ()
 
         def dispatch(s: int):
             # one native call tokenizes the whole chunk (spm.encode_rows)

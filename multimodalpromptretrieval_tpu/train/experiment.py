@@ -324,7 +324,15 @@ class Experiment:
                 f"parallelism: model*pipe = {width} does not divide the "
                 f"{n_dev} available devices")
         bs = cfg["hyperparameters"]["batch_size"]
-        n = int(par.get("data", 0)) or n_dev // width
+        explicit = int(par.get("data", 0))
+        if explicit and bs % explicit:
+            # an explicit request is honored or refused, never silently
+            # shrunk (the auto-sized axis below may shrink: it is a
+            # default, not a request)
+            raise ValueError(
+                f"parallelism: data={explicit} does not divide "
+                f"batch_size={bs}")
+        n = explicit or n_dev // width
         while n > 1 and bs % n:
             n -= 1
         if n * width > n_dev:

@@ -8,7 +8,7 @@ floor. This probe isolates where the per-step remainder lives by timing
   xla          — decode_attention_impl="xla" (einsum reference)
   no_cross     — cross-attention output zeroed (cache reads removed by
                  DCE): bounds the cross-KV bandwidth share
-  no_lmhead    — argmax over a 512-wide slice of the vocab only: bounds
+  small_lmhead — argmax over a 512-wide slice of the vocab only: bounds
                  the LM-head GEMM + (B, 32128) argmax share
   spec4/spec8  — t5_spec_greedy_decode with perfect drafts (the serving
                  case for a trained model): per-ACCEPTED-token cost
@@ -134,6 +134,14 @@ def main():
     if want("spec4") or want("spec8"):
         ref = np.asarray(full(enc, mask))
         draft = jnp.asarray(ref[:, 1:])
+        # sanity: the spec loop early-stops on EOS while 'full' is forced
+        # to T steps — report how many rows finish early so a skewed
+        # comparison is visible (random-init 32k-vocab rows rarely argmax
+        # EOS; measured ~0 here, and the spec trace confirms
+        # ceil(T/(S+1)) passes)
+        eos_rows = int((ref[:, 1:] == 1).any(axis=1).sum())
+        print(f"# rows emitting EOS within {T} steps: {eos_rows}/{B} "
+              "(spec loop runs fewer passes for those)")
         for S in (4, 8):
             if not want(f"spec{S}"):
                 continue

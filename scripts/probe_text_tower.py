@@ -83,13 +83,17 @@ def main():
 
     if args.sweep:
         base = np.asarray(tower(ids))
-        for g in (16, 32, 4):
-            jclip._PACK_GROUPS = (g,)
-            tg = jax.jit(lambda i: jclip.clip_encode_text(params, cfg, i))
-            msg = timed(tg, ids)
-            same = np.array_equal(np.asarray(tg(ids)), base)
-            print(f"pack group G={g}: {msg:.2f} ms  bitexact={same}")
-        jclip._PACK_GROUPS = (8, 4, 2)
+        orig = jclip._PACK_GROUPS
+        try:
+            for g in (16, 32, 4):
+                jclip._PACK_GROUPS = (g,)
+                tg = jax.jit(
+                    lambda i: jclip.clip_encode_text(params, cfg, i))
+                msg = timed(tg, ids)
+                same = np.array_equal(np.asarray(tg(ids)), base)
+                print(f"pack group G={g}: {msg:.2f} ms  bitexact={same}")
+        finally:
+            jclip._PACK_GROUPS = orig
 
     # packed-rows upper bound: average real length ~10/16 of the padding
     lens = np.asarray(jnp.sum(ids != 0, axis=1))

@@ -124,3 +124,12 @@ def test_rejects_combined_tp_pp(synth_root):
     cfg = _cfg(synth_root, parallelism={"model": 2, "pipe": 2})
     with pytest.raises(ValueError, match="model\\+pipe"):
         Experiment(cfg, train_mode=True, quiet=True)
+
+
+def test_explicit_data_axis_refused_when_indivisible(synth_root):
+    """An explicit parallelism 'data' request that doesn't divide the
+    batch size is refused, never silently shrunk."""
+    cfg = _cfg(synth_root, parallelism={"data": 8})
+    cfg["hyperparameters"]["batch_size"] = 12
+    with pytest.raises(ValueError, match="does not divide"):
+        Experiment(cfg, train_mode=True, quiet=True)
