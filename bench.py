@@ -20,6 +20,17 @@ Modes (default ``all`` — one JSON line, e2e as the headline):
              early-exits at EOS like a deployed server (trains once,
              cached; ``all`` includes it only when the checkpoint is
              already on disk).
+``t5_large`` — t5-large open-corpus serving (fp / spec_decode=4 / int8)
+             at B=128; trains + caches the t5-large checkpoint on first
+             run, after which ``all`` includes the same three numbers as
+             ride-alongs.
+
+Mode ``all`` is crash-proof (VERDICT r3 weak #1): every stage runs
+through a retry-on-transient-fault harness, failures land in an
+``errors`` field, and the accumulated record is printed in a
+``finally:`` — a mid-run tunnel fault yields a partial record instead of
+nothing. The record also carries automatic MFU fields (train-step exact,
+serve-step lower-bound) against the chip's public peak.
 
 The reference publishes no numbers (SURVEY.md §6); the baseline is the
 driver's target: 2,000 QA pairs/sec. ``vs_baseline`` = e2e value / 2000.
@@ -31,8 +42,127 @@ Run:  python bench.py            (real chip, bf16 compute)
 from __future__ import annotations
 
 import argparse
+import copy
 import json
+import os
+import sys
 import time
+import traceback
+
+# --------------------------------------------------------------------------
+# Stage harness: every measurement in ``--mode all`` runs through
+# _run_stage so one crashing stage can never sink the whole record
+# (VERDICT r3 weak #1: the r3 round-end bench died on a transient
+# remote-compile tunnel fault inside run_train, and because the single
+# JSON print sat after all stages, the e2e numbers measured minutes
+# earlier were thrown away with it). Transient tunnel faults — the same
+# class the startup backend probe retries — are retried; terminal
+# failures are recorded per-stage in an ``errors`` field and the rest of
+# the record survives. run_all prints the accumulated record in a
+# ``finally:`` so even KeyboardInterrupt emits a partial record.
+# --------------------------------------------------------------------------
+
+RETRIES = 2          # extra attempts per stage for transient faults
+RETRY_WAIT = 60.0    # seconds between attempts (tunnel outages are long)
+_TRANSIENT_MARKERS = (
+    # axon tunnel / remote-compile fault surfaces observed on this host
+    # (docs/TPU_NOTES.md): UNAVAILABLE swings, dropped compile bodies,
+    # broken pipes. Genuine code errors (TypeError/ValueError/OOM) and
+    # the closure-capture HTTP 413 do NOT match — retrying those wastes
+    # the round's wall clock.
+    "remote_compile", "read body", "response body", "unavailable",
+    "deadline exceeded", "connection reset", "broken pipe",
+    "socket closed", "connection refused", "end of file",
+)
+
+
+def _is_transient(exc: BaseException) -> bool:
+    s = f"{type(exc).__name__}: {exc}".lower()
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def _run_stage(name: str, fn, record: dict, errors: dict, *,
+               retries: int = None, wait: float = None) -> bool:
+    """Run one bench stage; merge its returned field dict into ``record``.
+
+    Retries transient backend faults (see _TRANSIENT_MARKERS) up to
+    ``retries`` extra times; any terminal failure lands in
+    ``errors[name]`` (with the traceback on stderr — ADVICE r3: silent
+    nulls are indistinguishable from 'no checkpoint') and returns False
+    so the caller's remaining stages still run."""
+    retries = RETRIES if retries is None else retries
+    wait = RETRY_WAIT if wait is None else wait
+    for attempt in range(retries + 1):
+        try:
+            out = fn()
+            if out:
+                record.update(out)
+            return True
+        except BaseException as e:
+            if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                raise
+            traceback.print_exc()
+            if attempt < retries and _is_transient(e):
+                print(f"# stage {name!r}: transient backend fault "
+                      f"(attempt {attempt + 1}/{retries + 1}); retrying "
+                      f"in {wait:.0f}s", file=sys.stderr)
+                time.sleep(wait)
+                continue
+            errors[name] = f"{type(e).__name__}: {e}"
+            return False
+    return False  # unreachable; keeps type checkers honest
+
+
+# --------------------------------------------------------------------------
+# MFU / speed-of-light fields (VERDICT r3 item 7): the docs/TPU_NOTES.md
+# ledger is hand-maintained; these derive floor-vs-measured ratios from
+# the compiled HLO flop count so every recorded round tracks efficiency
+# automatically.
+# --------------------------------------------------------------------------
+
+
+def _peak_flops():
+    """Per-chip peak dense bf16 FLOP/s by device kind (public spec sheet
+    numbers; the MFU denominator). None when the platform has no table
+    entry (e.g. the CPU smoke preset) — MFU fields are then omitted."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in (("v5 lite", 197e12), ("v5e", 197e12),
+                      ("v5p", 459e12), ("v6 lite", 918e12),
+                      ("v6e", 918e12), ("v4", 275e12), ("v3", 123e12),
+                      ("v2", 45e12)):
+        if key in kind:
+            return peak
+    return None
+
+
+def _mfu_fields(fn, fargs, sec_per_call: float, prefix: str) -> dict:
+    """``{prefix}_tflops_per_sec`` and ``{prefix}_mfu`` from the compiled
+    program's cost analysis at the measured per-call wall time.
+
+    Caveat (documented so the numbers read honestly): XLA's HLO cost
+    analysis counts a ``while`` body ONCE, so programs with a decode
+    loop (the serve step) report a LOWER BOUND on flops and MFU; the
+    train step has no while loop and is exact. ``lower().compile()``
+    hits the persistent compile cache, so this costs no device time."""
+    peak = _peak_flops()
+    if peak is None:
+        return {}
+    try:
+        ca = fn.lower(*fargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0] if ca else None
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        traceback.print_exc()  # diagnosable, never fatal to the record
+        return {}
+    if flops <= 0.0 or sec_per_call <= 0.0:
+        return {}
+    return {
+        f"{prefix}_tflops_per_sec": round(flops / sec_per_call / 1e12, 2),
+        f"{prefix}_mfu": round(flops / (sec_per_call * peak), 4),
+    }
 
 
 def build(preset: str, dtype_name: str, batch: int, seq_len: int,
@@ -162,8 +292,12 @@ def build(preset: str, dtype_name: str, batch: int, seq_len: int,
     return fn, args
 
 
-def run_device(args) -> float:
-    """Device-only QA/s (one fused jit, no host round-trips)."""
+def run_device(args):
+    """Device-only QA/s (one fused jit, no host round-trips).
+
+    Returns ``(qa_per_sec, extras)`` where extras holds the
+    ``device_serve_*`` MFU fields (:func:`_mfu_fields` — a lower bound
+    here: the decode while-loop body is counted once by cost analysis)."""
     import numpy as np
 
     fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
@@ -183,7 +317,8 @@ def run_device(args) -> float:
         pending = nxt
     np.asarray(pending[0])
     dt = time.perf_counter() - t0
-    return args.batch * args.iters / dt
+    extras = _mfu_fields(fn, fargs, dt / args.iters, "device_serve")
+    return args.batch * args.iters / dt, extras
 
 
 def _bench_experiment(args, data_dir: str, tiny: bool,
@@ -422,8 +557,11 @@ def run_e2e_int8(args, data_dir: str, style: str = "short"):
     return best, median, piped, match, have_ckpt
 
 
-def run_train(args, data_dir: str) -> float:
-    """Train-step throughput (examples/sec) on the full-size model."""
+def run_train(args, data_dir: str):
+    """Train-step throughput on the full-size model.
+
+    Returns ``(examples_per_sec, extras)``; extras holds the
+    ``train_step_*`` MFU fields (exact — the step has no while loop)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -472,14 +610,261 @@ def run_train(args, data_dir: str) -> float:
         params, opt_state, loss = step(params, opt_state, batch, lr, key)
     np.asarray(loss)
     dt = time.perf_counter() - t0
-    return B * args.train_iters / dt
+    extras = _mfu_fields(step, (params, opt_state, batch, lr, key),
+                         dt / args.train_iters, "train_step")
+    return B * args.train_iters / dt, extras
 
 
-def main():
+# --------------------------------------------------------------------------
+# t5-large ride-along (VERDICT r3 item 2): the measured spec-decode win
+# (1.21x at B=128, docs/TPU_NOTES.md r3) lived only as a probe note —
+# these stages put fp / spec4 / int8 t5-large serving into the recorded
+# round-end JSON, guarded on a cached trained checkpoint (``--mode
+# t5_large`` creates it once; ``all`` never trains inside a recorded run).
+# --------------------------------------------------------------------------
+
+T5_LARGE_SPEC = 4  # measured crossover: spec4 wins at t5-large depth
+
+
+def _t5_large_args(args):
+    la = copy.copy(args)
+    la.t5_version = "t5-large"
+    la.batch = args.t5_large_batch
+    return la
+
+
+def trained_ckpt_path(args, data_dir: str, style: str, ver: str) -> str:
+    """The e2e_trained checkpoint path WITHOUT instantiating an
+    Experiment (a t5-large init would allocate GBs of params just to
+    probe a path). Mirrors _bench_experiment's per-style, per-version
+    artifact roots and Experiment's ``get_model_prefix`` naming."""
+    from multimodalpromptretrieval_tpu.data.synthetic import (
+        synthetic_config,
+    )
+    from multimodalpromptretrieval_tpu.utils import get_model_prefix
+
+    sub = (("tiny" if args.preset == "tiny" else "full")
+           + ("_open" if style == "open" else ""))
+    root = os.path.join(data_dir, sub)
+    if ver != "t5-small":
+        root = os.path.join(root, ver)
+    cfg = synthetic_config(os.path.join(data_dir, "unused"),
+                           retrieval=True, k=args.k)
+    return os.path.join(root, "models", get_model_prefix(cfg) + ".npz")
+
+
+def run_t5_large(args, data_dir: str, train_if_missing: bool = False):
+    """t5-large open-corpus serving: trained fp, spec_decode=4, int8.
+
+    B defaults to 128 (``--t5-large-batch``) — the batch where the spec4
+    decode win was measured (the cross-attention KV caches scale with
+    layers * d_model, so t5-small's B=512 does not fit the same way).
+    The 512->1024 visual projection leg is reference behavior
+    (T5VisionModel.py:49-51), not an extra."""
+    la = _t5_large_args(args)
+    style = "open"
+    if not train_if_missing and not os.path.exists(
+            trained_ckpt_path(la, data_dir, style, "t5-large")):
+        return {"t5_large_skipped":
+                "no cached t5-large checkpoint; run "
+                "`python bench.py --mode t5_large` once"}
+    fields = {}
+    out = run_e2e_trained(la, data_dir, train_if_missing=train_if_missing,
+                          style=style)
+    fields["t5_large_trained_qa_per_sec"] = round(out[0], 2)
+    fields["t5_large_trained_pipelined_qa_per_sec"] = round(out[2], 2)
+    outs = run_e2e_trained(la, data_dir, train_if_missing=False,
+                           style=style, spec=T5_LARGE_SPEC)
+    fields["t5_large_spec4_qa_per_sec"] = round(outs[0], 2)
+    fields["t5_large_spec4_pipelined_qa_per_sec"] = round(outs[2], 2)
+    if not args.no_int8:
+        i8 = run_e2e_int8(la, data_dir, style=style)
+        fields["t5_large_int8_pipelined_qa_per_sec"] = round(i8[2], 2)
+        fields["t5_large_int8_answer_match_vs_fp"] = round(i8[3], 4)
+    return fields
+
+
+# Pre-seeded ``all`` record schema: every expected field starts as None so
+# a partial record (stage crash) still shows WHICH numbers are missing
+# rather than silently omitting keys.
+_ALL_FIELDS = (
+    "e2e_median_of_windows", "e2e_pipelined_qa_per_sec",
+    "e2e_cold_images_over_wire",
+    "e2e_trained_earlystop_qa_per_sec", "e2e_trained_median_of_windows",
+    "e2e_trained_pipelined_qa_per_sec",
+    "e2e_int8_qa_per_sec", "e2e_int8_pipelined_qa_per_sec",
+    "int8_answer_match_vs_fp",
+    "open_e2e_qa_per_sec", "open_e2e_pipelined_qa_per_sec",
+    "open_trained_qa_per_sec", "open_trained_pipelined_qa_per_sec",
+    "open_trained_spec_decode_qa_per_sec",
+    "open_trained_spec_decode_pipelined_qa_per_sec",
+    "open_int8_pipelined_qa_per_sec", "open_int8_answer_match_vs_fp",
+    "t5_large_trained_qa_per_sec", "t5_large_trained_pipelined_qa_per_sec",
+    "t5_large_spec4_qa_per_sec", "t5_large_spec4_pipelined_qa_per_sec",
+    "t5_large_int8_pipelined_qa_per_sec",
+    "t5_large_int8_answer_match_vs_fp",
+    "device_only_qa_per_sec", "train_ex_per_sec",
+)
+
+BASELINE_QA_PER_SEC = 2000.0  # the driver's north-star target (BASELINE.md)
+
+
+def run_all(args) -> None:
+    """``--mode all``: steady-state e2e is the headline; every other
+    number rides along. Each stage runs through :func:`_run_stage`
+    (retry transient faults, record terminal ones) and the accumulated
+    record is printed in a ``finally:`` — a mid-run tunnel fault now
+    yields a partial record with an ``errors`` field instead of nothing
+    (VERDICT r3 weak #1). If the e2e headline itself died, the headline
+    value falls back to the best surviving stage (flagged via
+    ``headline_fallback_from``)."""
+    baseline = BASELINE_QA_PER_SEC
+    record = {"metric": "slake_serve_qa_pairs_per_sec_e2e", "value": None,
+              "unit": "QA/s", "vs_baseline": None}
+    record.update({f: None for f in _ALL_FIELDS})
+    errors: dict = {}
+
+    def e2e_fields():
+        steady, median, piped, cold = run_e2e(args, args.data_dir)
+        return {"value": round(steady, 2),
+                "vs_baseline": round(steady / baseline, 4),
+                "e2e_median_of_windows": round(median, 2),
+                "e2e_pipelined_qa_per_sec": round(piped, 2),
+                "e2e_cold_images_over_wire": round(cold, 2)}
+
+    def device_fields():
+        v, extras = run_device(args)
+        return {"device_only_qa_per_sec": round(v, 2), **extras}
+
+    def train_fields():
+        v, extras = run_train(args, args.data_dir)
+        return {"train_ex_per_sec": round(v, 2), **extras}
+
+    def open_e2e_fields():
+        # the multi-token-answer corpus (VERDICT r2 item 2): same
+        # pipeline, answers of 2-8 T5 tokens + long questions — where the
+        # serial decode costs what real SLAKE open answers cost
+        steady, _, piped, _ = run_e2e(args, args.data_dir, style="open")
+        return {"open_e2e_qa_per_sec": round(steady, 2),
+                "open_e2e_pipelined_qa_per_sec": round(piped, 2)}
+
+    def trained_fields():
+        out = run_e2e_trained(args, args.data_dir, train_if_missing=False)
+        if out is None:  # no cached checkpoint — not an error
+            return {}
+        return {"e2e_trained_earlystop_qa_per_sec": round(out[0], 2),
+                "e2e_trained_median_of_windows": round(out[1], 2),
+                "e2e_trained_pipelined_qa_per_sec": round(out[2], 2)}
+
+    def open_trained_fields():
+        out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
+                              style="open")
+        if out is None:
+            return {}
+        return {"open_trained_qa_per_sec": round(out[0], 2),
+                "open_trained_pipelined_qa_per_sec": round(out[2], 2)}
+
+    def open_trained_spec_fields():
+        # the documented t5-small spec-decode NEGATIVE, deliberately
+        # recorded (docs/TPU_NOTES.md r3: a loss at this depth)
+        out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
+                              style="open", spec=4)
+        if out is None:
+            return {}
+        return {"open_trained_spec_decode_qa_per_sec": round(out[0], 2),
+                "open_trained_spec_decode_pipelined_qa_per_sec":
+                    round(out[2], 2)}
+
+    def int8_fields():
+        i8 = run_e2e_int8(args, args.data_dir)
+        return {"e2e_int8_qa_per_sec": round(i8[0], 2),
+                "e2e_int8_pipelined_qa_per_sec": round(i8[2], 2),
+                "int8_answer_match_vs_fp": round(i8[3], 4)}
+
+    def open_int8_fields():
+        i8 = run_e2e_int8(args, args.data_dir, style="open")
+        return {"open_int8_pipelined_qa_per_sec": round(i8[2], 2),
+                "open_int8_answer_match_vs_fp": round(i8[3], 4)}
+
+    def t5l_fp_fields():
+        out = run_e2e_trained(_t5_large_args(args), args.data_dir,
+                              train_if_missing=False, style="open")
+        if out is None:
+            return {}
+        return {"t5_large_trained_qa_per_sec": round(out[0], 2),
+                "t5_large_trained_pipelined_qa_per_sec": round(out[2], 2)}
+
+    def t5l_spec_fields():
+        out = run_e2e_trained(_t5_large_args(args), args.data_dir,
+                              train_if_missing=False, style="open",
+                              spec=T5_LARGE_SPEC)
+        if out is None:
+            return {}
+        return {"t5_large_spec4_qa_per_sec": round(out[0], 2),
+                "t5_large_spec4_pipelined_qa_per_sec": round(out[2], 2)}
+
+    def t5l_int8_fields():
+        i8 = run_e2e_int8(_t5_large_args(args), args.data_dir,
+                          style="open")
+        return {"t5_large_int8_pipelined_qa_per_sec": round(i8[2], 2),
+                "t5_large_int8_answer_match_vs_fp": round(i8[3], 4)}
+
+    try:
+        _run_stage("e2e", e2e_fields, record, errors)
+        _run_stage("device", device_fields, record, errors)
+        _run_stage("train", train_fields, record, errors)
+        _run_stage("open_e2e", open_e2e_fields, record, errors)
+        _run_stage("trained", trained_fields, record, errors)
+        _run_stage("open_trained", open_trained_fields, record, errors)
+        _run_stage("open_trained_spec", open_trained_spec_fields, record,
+                   errors)
+        if not args.no_int8:
+            _run_stage("int8", int8_fields, record, errors)
+            _run_stage("open_int8", open_int8_fields, record, errors)
+        try:
+            have_large = os.path.exists(trained_ckpt_path(
+                _t5_large_args(args), args.data_dir, "open", "t5-large"))
+        except Exception:
+            traceback.print_exc()
+            have_large = False
+        if have_large:
+            _run_stage("t5_large_fp", t5l_fp_fields, record, errors)
+            _run_stage("t5_large_spec", t5l_spec_fields, record, errors)
+            if not args.no_int8:
+                _run_stage("t5_large_int8", t5l_int8_fields, record,
+                           errors)
+        else:
+            record["t5_large_skipped"] = (
+                "no cached t5-large checkpoint; run "
+                "`python bench.py --mode t5_large` once")
+    finally:
+        if record.get("value") is None:
+            # the headline stage itself died after retries: promote the
+            # best surviving serving number so the record still carries a
+            # meaningful (flagged) headline
+            for key in ("e2e_trained_earlystop_qa_per_sec",
+                        "open_trained_qa_per_sec",
+                        "device_only_qa_per_sec"):
+                v = record.get(key)
+                if v:
+                    record["value"] = v
+                    record["vs_baseline"] = round(v / baseline, 4)
+                    record["headline_fallback_from"] = key
+                    break
+        if errors:
+            record["errors"] = errors
+        print(json.dumps(record), flush=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="all",
                    choices=["all", "e2e", "e2e_trained", "e2e_int8",
-                            "device", "train"])
+                            "device", "train", "t5_large"])
+    p.add_argument("--t5-large-batch", type=int, default=128,
+                   help="t5-large stages: serve/train batch (128 = the "
+                        "batch where the spec4 decode win was measured; "
+                        "the cross-KV caches scale with layers*d_model)")
     p.add_argument("--no-int8", action="store_true",
                    help="all: skip the quantized-serving measurement")
     p.add_argument("--int8-mode", default="int8",
@@ -527,7 +912,11 @@ def main():
                    help="e2e_trained: epochs before measuring early-exit")
     p.add_argument("--data-dir", default="/tmp/mpr_bench_data")
     p.add_argument("--platform", default=None)
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
 
     if args.platform:
         import jax
@@ -571,12 +960,13 @@ def main():
               "retrying in 60s", file=_sys.stderr)
         time.sleep(60)
 
-    baseline = 2000.0
+    baseline = BASELINE_QA_PER_SEC
     if args.mode == "device":
-        v = run_device(args)
+        v, extras = run_device(args)
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec", "value": round(v, 2),
-            "unit": "QA/s", "vs_baseline": round(v / baseline, 4)}))
+            "unit": "QA/s", "vs_baseline": round(v / baseline, 4),
+            **extras}))
     elif args.mode == "e2e":
         steady, median, piped, cold = run_e2e(args, args.data_dir,
                                               style=args.corpus_style)
@@ -598,10 +988,18 @@ def main():
             "e2e_trained_median_of_windows": round(median, 2),
             "e2e_trained_pipelined_qa_per_sec": round(piped, 2)}))
     elif args.mode == "train":
-        v = run_train(args, args.data_dir)
+        v, extras = run_train(args, args.data_dir)
         print(json.dumps({
             "metric": "train_examples_per_sec", "value": round(v, 2),
-            "unit": "ex/s", "vs_baseline": None}))
+            "unit": "ex/s", "vs_baseline": None, **extras}))
+    elif args.mode == "t5_large":
+        fields = run_t5_large(args, args.data_dir, train_if_missing=True)
+        v = fields.pop("t5_large_trained_qa_per_sec", None)
+        print(json.dumps({
+            "metric": "slake_serve_qa_pairs_per_sec_t5_large_trained",
+            "value": v, "unit": "QA/s",
+            "vs_baseline": round(v / baseline, 4) if v else None,
+            **fields}))
     elif args.mode == "e2e_int8":
         best, median, piped, match, trained = run_e2e_int8(
             args, args.data_dir, style=args.corpus_style)
@@ -613,78 +1011,8 @@ def main():
             "e2e_int8_pipelined_qa_per_sec": round(piped, 2),
             "int8_answer_match_vs_fp": round(match, 4),
             "int8_used_trained_checkpoint": trained}))
-    else:  # all: steady-state e2e is the headline; the rest ride along
-        steady, median, piped, cold = run_e2e(args, args.data_dir)
-        dev = run_device(args)
-        trn = run_train(args, args.data_dir)
-        # the multi-token-answer corpus (VERDICT r2 item 2): same pipeline,
-        # answers of 2-8 T5 tokens + long questions — the corpus where the
-        # serial decode actually costs what real SLAKE open answers cost
-        open_e2e = open_piped = None
-        open_trained = open_trained_piped = None
-        open_trained_spec = open_trained_spec_piped = None
-        open_int8 = open_int8_match = None
-        try:
-            o_steady, _, o_piped, _ = run_e2e(args, args.data_dir,
-                                              style="open")
-            open_e2e, open_piped = round(o_steady, 2), round(o_piped, 2)
-            out = run_e2e_trained(args, args.data_dir,
-                                  train_if_missing=False, style="open")
-            if out is not None:
-                open_trained = round(out[0], 2)
-                open_trained_piped = round(out[2], 2)
-                outs = run_e2e_trained(args, args.data_dir,
-                                       train_if_missing=False,
-                                       style="open", spec=4)
-                if outs is not None:
-                    open_trained_spec = round(outs[0], 2)
-                    open_trained_spec_piped = round(outs[2], 2)
-            if not args.no_int8:
-                i8 = run_e2e_int8(args, args.data_dir, style="open")
-                open_int8, open_int8_match = round(i8[2], 2), round(i8[3], 4)
-        except Exception:  # never let the extra numbers sink the record
-            pass
-        try:
-            out = run_e2e_trained(args, args.data_dir,
-                                  train_if_missing=False)
-            trained, trained_med, trained_piped = (
-                tuple(round(v, 2) for v in out) if out is not None
-                else (None, None, None))
-        except Exception:  # never let the extra number sink the record
-            trained = trained_med = trained_piped = None
-        int8_v = int8_piped = int8_match = None
-        if not args.no_int8:
-            try:
-                i8 = run_e2e_int8(args, args.data_dir)
-                int8_v, _, int8_piped, int8_match = (
-                    round(i8[0], 2), i8[1], round(i8[2], 2),
-                    round(i8[3], 4))
-            except Exception:  # never let the extra number sink the record
-                pass
-        print(json.dumps({
-            "metric": "slake_serve_qa_pairs_per_sec_e2e",
-            "value": round(steady, 2), "unit": "QA/s",
-            "vs_baseline": round(steady / baseline, 4),
-            "e2e_median_of_windows": round(median, 2),
-            "e2e_pipelined_qa_per_sec": round(piped, 2),
-            "e2e_cold_images_over_wire": round(cold, 2),
-            "e2e_trained_earlystop_qa_per_sec": trained,
-            "e2e_trained_median_of_windows": trained_med,
-            "e2e_trained_pipelined_qa_per_sec": trained_piped,
-            "e2e_int8_qa_per_sec": int8_v,
-            "e2e_int8_pipelined_qa_per_sec": int8_piped,
-            "int8_answer_match_vs_fp": int8_match,
-            "open_e2e_qa_per_sec": open_e2e,
-            "open_e2e_pipelined_qa_per_sec": open_piped,
-            "open_trained_qa_per_sec": open_trained,
-            "open_trained_pipelined_qa_per_sec": open_trained_piped,
-            "open_trained_spec_decode_qa_per_sec": open_trained_spec,
-            "open_trained_spec_decode_pipelined_qa_per_sec":
-                open_trained_spec_piped,
-            "open_int8_pipelined_qa_per_sec": open_int8,
-            "open_int8_answer_match_vs_fp": open_int8_match,
-            "device_only_qa_per_sec": round(dev, 2),
-            "train_ex_per_sec": round(trn, 2)}))
+    else:  # all: the crash-proof stage loop (run_all)
+        run_all(args)
 
 
 if __name__ == "__main__":

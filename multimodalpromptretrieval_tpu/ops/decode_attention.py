@@ -148,6 +148,14 @@ def block_attention_indicator(q, k, v, *, heads: int, bias=None,
     (per-row validity folded in by the caller); kv_mask: (B, T).
     Returns (B, S, W). Same rounding points as the single-query
     indicator path.
+
+    HBM assumption (ADVICE r3): ``prod`` is a (B, S, T, W) intermediate —
+    ~215 MB bf16 per layer pass at the largest measured config
+    (cross-attention, B=512, S=5, T=82, W=512) IF XLA materializes it
+    instead of fusing it into the dot_general (profiles at the measured
+    configs show it fused). Self-attention keeps T = S+1 small, so the
+    cross-attention term bounds it. If encoder lengths or batches grow
+    past the serving configs, chunk over T here before assuming fusion.
     """
     B, S, W = q.shape
     T = k.shape[1]

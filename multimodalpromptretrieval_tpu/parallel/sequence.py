@@ -151,6 +151,16 @@ def sp_t5_encode(params, cfg, embeds: jnp.ndarray,
     story for contexts that outgrow a chip, not the default.
     """
     jfn, x_spec, m_spec = _sp_t5_encode_fn(cfg, mesh, seq_axis, data_axis)
+    B, L = embeds.shape[0], embeds.shape[1]
+    n_data, n_seq = mesh.shape[data_axis], mesh.shape[seq_axis]
+    if B % n_data or L % n_seq:
+        # fail with the actual misfit, not a cryptic sharding error from
+        # the device_put below (ADVICE r3)
+        raise ValueError(
+            f"sp_t5_encode: batch {B} must divide over the "
+            f"'{data_axis}' axis ({n_data}) and sequence length {L} over "
+            f"the '{seq_axis}' axis ({n_seq}); pad the batch/sequence or "
+            "shrink the mesh")
     if mask is None:
         mask = jnp.ones(embeds.shape[:2], jnp.bool_)
     embeds = jax.device_put(embeds, NamedSharding(mesh, x_spec))

@@ -118,6 +118,21 @@ def test_sp_t5_encode_matches_t5_encode_L4096(seq_mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_sp_t5_encode_rejects_indivisible_shapes(seq_mesh):
+    """Misfit shapes fail with a clear ValueError before any device_put
+    (ADVICE r3), not a cryptic sharding error."""
+    from multimodalpromptretrieval_tpu.models import t5 as jt5
+
+    cfg = jt5.T5Config.tiny(vocab_size=64)
+    params = jt5.init_t5(jax.random.PRNGKey(7), cfg)
+    bad_len = jnp.zeros((2, 66, cfg.d_model), jnp.float32)  # 66 % 4 != 0
+    with pytest.raises(ValueError, match="sequence length 66"):
+        sp.sp_t5_encode(params, cfg, bad_len, None, seq_mesh)
+    bad_batch = jnp.zeros((3, 64, cfg.d_model), jnp.float32)  # 3 % 2 != 0
+    with pytest.raises(ValueError, match="batch 3"):
+        sp.sp_t5_encode(params, cfg, bad_batch, None, seq_mesh)
+
+
 def test_sp_t5_encode_matches_at_serving_length(seq_mesh):
     """Same at the serving-scale length (L=64, bucketed width): the wired
     path is exact at short lengths too, not only in the long regime."""
