@@ -321,23 +321,21 @@ def run_device(args):
     return args.batch * args.iters / dt, extras
 
 
-def _bench_experiment(args, data_dir: str, tiny: bool,
-                      style: str = "short"):
-    """A full-size (or tiny) Experiment over a synthetic SLAKE corpus,
-    reused across runs via ``data_dir``.
+def _bench_setup(args, data_dir: str, tiny: bool, style: str = "short"):
+    """(cfg, log_root, model_root) for the bench experiment — generates
+    the synthetic dataset on first use but instantiates NO Experiment
+    (run_e2e_trained needs the config without paying for a second full
+    param set on device; t5-large OOMs otherwise).
 
     ``style="open"`` uses the multi-token-answer corpus
     (data/synthetic._open_qa): answers of 2-8 T5 tokens and long questions,
     so the trained early-exit decode actually pays the serial decode cost
     real SLAKE open answers incur (the short corpus early-exits after ~3
     steps and flatters the number — VERDICT r2 weak #4)."""
-    import os
-
     from multimodalpromptretrieval_tpu.data.synthetic import (
         generate_synthetic_slake,
         synthetic_config,
     )
-    from multimodalpromptretrieval_tpu.train.experiment import Experiment
 
     size = 64 if tiny else 224
     n_train = 16 if tiny else 410       # -> 1,230 retrieval corpus entries
@@ -371,9 +369,18 @@ def _bench_experiment(args, data_dir: str, tiny: bool,
     # t5-base/t5-large run
     ver = getattr(args, "t5_version", "t5-small")
     root = data_dir if ver == "t5-small" else os.path.join(data_dir, ver)
+    return cfg, os.path.join(root, "logs"), os.path.join(root, "models")
+
+
+def _bench_experiment(args, data_dir: str, tiny: bool,
+                      style: str = "short"):
+    """A full-size (or tiny) serving Experiment over the synthetic SLAKE
+    corpus, reused across runs via ``data_dir`` (see _bench_setup)."""
+    from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+    cfg, log_root, model_root = _bench_setup(args, data_dir, tiny, style)
     return Experiment(cfg, train_mode=False, quiet=True,
-                      log_root=os.path.join(root, "logs"),
-                      model_root=os.path.join(root, "models"))
+                      log_root=log_root, model_root=model_root)
 
 
 def _steady_windows(server, questions, tasks, ids, n: int, args):
@@ -415,7 +422,8 @@ def _steady_windows(server, questions, tasks, ids, n: int, args):
 
 
 def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True,
-                    style: str = "short", spec: int = 0):
+                    style: str = "short", spec: int = 0,
+                    train_batch: int = 0, length_sort: bool = False):
     # -> (best, median, pipelined_best) QA/s, or None when no checkpoint
     # and not training
     """Steady-state QA/s with a TRAINED checkpoint and decode early-exit.
@@ -427,38 +435,49 @@ def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True,
     what a deployed server sees: train briefly on the synthetic corpus
     (checkpoint cached in ``data_dir`` across runs), then measure the
     staged steady state."""
-    import os
+    import gc
 
-    from multimodalpromptretrieval_tpu.data.synthetic import (
-        synthetic_config,
-    )
     from multimodalpromptretrieval_tpu.serve import MPRServer
     from multimodalpromptretrieval_tpu.train.experiment import Experiment
 
     tiny = args.preset == "tiny"
-    exp = _bench_experiment(args, data_dir, tiny=tiny, style=style)
-    if not os.path.exists(exp.model_path):
+    cfg, log_root, model_root = _bench_setup(args, data_dir, tiny, style)
+    ver = getattr(args, "t5_version", "t5-small")
+    ckpt = trained_ckpt_path(args, data_dir, style, ver)
+    if not os.path.exists(ckpt):
         if not train_if_missing:
             # mode "all" never trains: a cold cache would add the full
             # training wall-clock to the recorded bench run. Run
             # `bench.py --mode e2e_trained` once to create the checkpoint;
             # subsequent `all` runs then include the number.
             return None
-        cfg = dict(exp.cfg)
-        cfg["hyperparameters"] = dict(cfg["hyperparameters"],
-                                      epochs=args.train_epochs)
-        # same artifact roots as the serving experiment (incl. the
-        # per-T5-version suffix) so the trained checkpoint is found
-        model_root = os.path.dirname(exp.model_path)
-        trainer = Experiment(
-            cfg, train_mode=True, quiet=True,
-            log_root=os.path.join(os.path.dirname(model_root), "logs"),
-            model_root=model_root)
+        over = {"epochs": args.train_epochs}
+        if train_batch:
+            # t5-large: fwd/bwd activations at the serving batch don't
+            # fit next to params + fp32 AdamW moments (~11 GB) on one
+            # 16 GB chip — train smaller, serve at args.batch
+            over["batch_size"] = train_batch
+        tcfg = dict(cfg)
+        tcfg["hyperparameters"] = dict(cfg["hyperparameters"], **over)
+        # the trainer is the ONLY experiment alive here (no serving
+        # experiment first): at t5-large scale two full param sets plus
+        # the optimizer moments OOM the chip (r4: RESOURCE_EXHAUSTED)
+        trainer = Experiment(tcfg, train_mode=True, quiet=True,
+                             log_root=log_root, model_root=model_root)
         trainer.train()
-        exp = _bench_experiment(args, data_dir, tiny=tiny, style=style)
+        del trainer
+        # Experiment holds reference cycles (cached jitted closures
+        # capture self), so a bare del leaves params + moments in HBM
+        # until some future collection — force it before the serving
+        # params arrive
+        gc.collect()
+    exp = _bench_experiment(args, data_dir, tiny=tiny, style=style)
+    assert exp.model_path == ckpt, (
+        f"trained_ckpt_path drifted from Experiment: {ckpt} != "
+        f"{exp.model_path}")
     server = MPRServer(exp, load_checkpoint=True,
                        pipeline_depth=args.pipeline_depth,
-                       spec_decode=spec)
+                       spec_decode=spec, length_sort=length_sort)
     import numpy as np
 
     entries = exp.dataset_test.entries
@@ -670,7 +689,7 @@ def run_t5_large(args, data_dir: str, train_if_missing: bool = False):
                 "`python bench.py --mode t5_large` once"}
     fields = {}
     out = run_e2e_trained(la, data_dir, train_if_missing=train_if_missing,
-                          style=style)
+                          style=style, train_batch=args.t5_large_train_batch)
     fields["t5_large_trained_qa_per_sec"] = round(out[0], 2)
     fields["t5_large_trained_pipelined_qa_per_sec"] = round(out[2], 2)
     outs = run_e2e_trained(la, data_dir, train_if_missing=False,
@@ -696,6 +715,8 @@ _ALL_FIELDS = (
     "int8_answer_match_vs_fp",
     "open_e2e_qa_per_sec", "open_e2e_pipelined_qa_per_sec",
     "open_trained_qa_per_sec", "open_trained_pipelined_qa_per_sec",
+    "open_trained_length_sort_qa_per_sec",
+    "open_trained_length_sort_pipelined_qa_per_sec",
     "open_trained_spec_decode_qa_per_sec",
     "open_trained_spec_decode_pipelined_qa_per_sec",
     "open_int8_pipelined_qa_per_sec", "open_int8_answer_match_vs_fp",
@@ -764,6 +785,19 @@ def run_all(args) -> None:
         return {"open_trained_qa_per_sec": round(out[0], 2),
                 "open_trained_pipelined_qa_per_sec": round(out[2], 2)}
 
+    def open_trained_lsort_fields():
+        # answer-length-aware chunk composition (VERDICT r3 item 3):
+        # retrieval pre-pass predicts answer lengths, chunks re-composed
+        # so short-answer chunks hit all-rows-EOS early. Recorded
+        # alongside the unsorted number so the win/loss is in the record.
+        out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
+                              style="open", length_sort=True)
+        if out is None:
+            return {}
+        return {"open_trained_length_sort_qa_per_sec": round(out[0], 2),
+                "open_trained_length_sort_pipelined_qa_per_sec":
+                    round(out[2], 2)}
+
     def open_trained_spec_fields():
         # the documented t5-small spec-decode NEGATIVE, deliberately
         # recorded (docs/TPU_NOTES.md r3: a loss at this depth)
@@ -816,6 +850,8 @@ def run_all(args) -> None:
         _run_stage("open_e2e", open_e2e_fields, record, errors)
         _run_stage("trained", trained_fields, record, errors)
         _run_stage("open_trained", open_trained_fields, record, errors)
+        _run_stage("open_trained_lsort", open_trained_lsort_fields,
+                   record, errors)
         _run_stage("open_trained_spec", open_trained_spec_fields, record,
                    errors)
         if not args.no_int8:
@@ -862,9 +898,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["all", "e2e", "e2e_trained", "e2e_int8",
                             "device", "train", "t5_large"])
     p.add_argument("--t5-large-batch", type=int, default=128,
-                   help="t5-large stages: serve/train batch (128 = the "
-                        "batch where the spec4 decode win was measured; "
-                        "the cross-KV caches scale with layers*d_model)")
+                   help="t5-large stages: serve batch (128 = the batch "
+                        "where the spec4 decode win was measured; the "
+                        "cross-KV caches scale with layers*d_model)")
+    p.add_argument("--t5-large-train-batch", type=int, default=32,
+                   help="t5-large checkpoint training batch (mode "
+                        "t5_large): fwd/bwd activations at B=128 don't "
+                        "fit next to the fp32 AdamW moments on a 16 GB "
+                        "chip")
     p.add_argument("--no-int8", action="store_true",
                    help="all: skip the quantized-serving measurement")
     p.add_argument("--int8-mode", default="int8",
@@ -877,6 +918,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--batch: the cross-KV caches scale with "
                         "layers*d_model)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
+    p.add_argument("--length-sort", action="store_true",
+                   help="e2e_trained: re-chunk requests by predicted "
+                        "answer length (retrieval pre-pass; "
+                        "serve.MPRServer length_sort)")
     p.add_argument("--spec-decode", type=int, default=0,
                    help="e2e_trained: hint-draft speculative decode block "
                         "size (0 = lockstep greedy; outputs identical "
@@ -980,7 +1025,8 @@ def main():
     elif args.mode == "e2e_trained":
         best, median, piped = run_e2e_trained(args, args.data_dir,
                                               style=args.corpus_style,
-                                              spec=args.spec_decode)
+                                              spec=args.spec_decode,
+                                              length_sort=args.length_sort)
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_e2e_trained",
             "value": round(best, 2), "unit": "QA/s",

@@ -21,7 +21,12 @@ Numerics match the DP train step exactly for the deterministic
 (dropout-off) loss — each microbatch row sees the identical layer math
 (models/t5.encoder_block / decoder_block, the same functions the DP scan
 uses), and the loss is globally token-normalized before the psum-merge of
-gradients. Validated in tests/test_pipeline.py and the driver dryrun.
+gradients. With dropout on (the reference's default recipe trains at
+0.1), masks come from a deterministic per-(stage, microbatch) key
+schedule — same rate, intentionally different bit pattern than the DP
+stream (dropout bits are not a parity surface; train/rng.py). Validated
+in tests/test_pipeline.py, tests/test_parallelism_config.py and the
+driver dryrun.
 
 Scope: the generative train/eval loss (where the depth is). The vision
 tower, embeddings and LM head are replicated — computed on the ranks that
@@ -43,7 +48,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalpromptretrieval_tpu.models import mprgen
 from multimodalpromptretrieval_tpu.models import t5 as t5m
-from multimodalpromptretrieval_tpu.ops.layers import rms_norm
+from multimodalpromptretrieval_tpu.ops.layers import (
+    dropout as _dropout,
+    rms_norm,
+)
 from multimodalpromptretrieval_tpu.train.optim import adamw_update
 
 Params = Dict[str, Any]
@@ -148,16 +156,25 @@ def pp_generative_loss(params: Params, cfg: mprgen.MPRGenConfig,
                        batch: Dict[str, jnp.ndarray], *, n_stages: int,
                        microbatches: int, data_axis: str = "data",
                        pipe_axis: str = "pipe",
-                       reduce: bool = True) -> jnp.ndarray:
+                       reduce: bool = True, rng=None) -> jnp.ndarray:
     """Pipelined generative CE loss, inside shard_map over (data, pipe).
 
     With ``reduce=True``, equal on every rank to the global (all-shards)
     deterministic ``mprgen.loss_fn`` value: the token normalization is
     global (psum of summed log-likelihoods over both axes / psum of valid
     counts over data), matching the reference's whole-batch mean
-    (t5.t5_loss). Dropout is off — the PP step trains deterministically
-    (documented; the per-(layer, microbatch) rng plumbing isn't worth
-    diverging the HF stream order for).
+    (t5.t5_loss). Dropout (``rng`` is not None and cfg.t5.dropout_rate >
+    0 — VERDICT r3 item 5: the reference's only training recipe uses
+    dropout 0.1, main.py:148-226) draws masks from a deterministic
+    per-(stage, microbatch) key schedule: the T5Stack-level input/output
+    dropouts use replicated fold_in constants (identical on every rank,
+    so rank 0's injected activations are consistent), and each pipeline
+    tile folds (microbatch index, stage index) into the key before
+    advancing it through the layer scan exactly like the sequential
+    encoder/decoder blocks. The RATE matches the DP step; the bit
+    pattern intentionally diverges from DP's HF-order stream (dropout
+    bits are not a parity surface — the torch reference draws them from
+    the CUDA RNG; see train/rng.py). Deterministic given (seed, mesh).
 
     ``reduce=False`` returns the rank-LOCAL partial (this data shard's
     masked log-likelihood sum over the global token count; nonzero only
@@ -171,16 +188,27 @@ def pp_generative_loss(params: Params, cfg: mprgen.MPRGenConfig,
     s = lax.axis_index(pipe_axis)
     params = mprgen.cast_compute(params, cfg)
     images, tokens = mprgen._batch_visual(batch, cfg)
+    rate = tcfg.dropout_rate
+    use_drop = rng is not None and rate > 0.0
     # Replicated front end: embeddings + vision prefix. Only rank 0's
     # result is injected into the pipeline, so other ranks' copies get a
     # zero cotangent and the psum-merge of shared-param grads stays exact.
     embeds, mask = mprgen.combine_inputs(params, cfg, images,
                                          batch["input_ids"],
                                          batch["text_mask"], tokens)
+    if use_drop:  # T5Stack input dropout; replicated key -> rank-consistent
+        embeds = _dropout(embeds, rate, jax.random.fold_in(rng, 0))
     B, L, D = embeds.shape
     M = microbatches
     assert B % M == 0, f"local batch {B} not divisible by {M} microbatches"
     mb = B // M
+
+    def mb_keys(tag: int):
+        # one key per microbatch; stages fold their own index in below so
+        # every (stage, microbatch) tile draws an independent stream
+        base = jax.random.fold_in(rng, tag)
+        return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(M))
 
     enc = params["t5"]["encoder"]
     bias = t5m.compute_position_bias(enc["rel_bias"], L, L,
@@ -190,46 +218,68 @@ def pp_generative_loss(params: Params, cfg: mprgen.MPRGenConfig,
     mask_mb = kv_mask.reshape(M, mb, L)
 
     def enc_stage(x, extra):
-        def body(xc, p):
-            xc, _ = t5m.encoder_block(p, tcfg, xc, bias=bias,
-                                      kv_mask=extra, rng=None)
-            return xc, None
-        x, _ = lax.scan(body, x, enc["block"])
+        if use_drop:
+            kv, key_m = extra
+            lrng = jax.random.fold_in(key_m, s)
+        else:
+            kv, lrng = extra, None
+
+        def body(carry, p):
+            xc, r = carry
+            xc, r = t5m.encoder_block(p, tcfg, xc, bias=bias,
+                                      kv_mask=kv, rng=r)
+            return (xc, r), None
+        (x, _), _ = lax.scan(body, (x, lrng), enc["block"])
         return x
 
-    enc_out = gpipe(enc_stage, xs, mask_mb, axis=pipe_axis,
+    enc_extras = (mask_mb, mb_keys(1)) if use_drop else mask_mb
+    enc_out = gpipe(enc_stage, xs, enc_extras, axis=pipe_axis,
                     n_stages=n_stages)
     enc_out = from_last(enc_out, axis=pipe_axis, n_stages=n_stages)
     enc_hidden = rms_norm(enc_out.reshape(B, L, D), enc["final_ln"],
                           tcfg.layer_norm_epsilon)
+    if use_drop:  # T5Stack encoder output dropout
+        enc_hidden = _dropout(enc_hidden, rate, jax.random.fold_in(rng, 2))
 
     dec = params["t5"]["decoder"]
     labels = batch["labels"]
     dec_ids = t5m.shift_right(labels, tcfg)
     T = dec_ids.shape[1]
     y0 = params["t5"]["shared"][dec_ids]
+    if use_drop:  # T5Stack decoder input dropout
+        y0 = _dropout(y0, rate, jax.random.fold_in(rng, 3))
     dbias = t5m.compute_position_bias(dec["rel_bias"], T, T,
                                       bidirectional=False, cfg=tcfg)
     ys = y0.reshape(M, mb, T, D)
     enc_mb = enc_hidden.reshape(M, mb, L, D)
 
     def dec_stage(y, extra):
-        eh, km = extra
+        if use_drop:
+            eh, km, key_m = extra
+            lrng = jax.random.fold_in(key_m, s)
+        else:
+            eh, km = extra
+            lrng = None
 
-        def body(yc, p):
-            yc, _ = t5m.decoder_block(p, tcfg, yc, encoder_hidden=eh,
-                                      bias=dbias, enc_kv_mask=km, rng=None)
-            return yc, None
-        y, _ = lax.scan(body, y, dec["block"])
+        def body(carry, p):
+            yc, r = carry
+            yc, r = t5m.decoder_block(p, tcfg, yc, encoder_hidden=eh,
+                                      bias=dbias, enc_kv_mask=km, rng=r)
+            return (yc, r), None
+        (y, _), _ = lax.scan(body, (y, lrng), dec["block"])
         return y
 
-    dec_out = gpipe(dec_stage, ys, (enc_mb, mask_mb), axis=pipe_axis,
+    dec_extras = ((enc_mb, mask_mb, mb_keys(4)) if use_drop
+                  else (enc_mb, mask_mb))
+    dec_out = gpipe(dec_stage, ys, dec_extras, axis=pipe_axis,
                     n_stages=n_stages)
     # LM head + CE from each rank's own pipeline output; only the last
     # rank's term survives the mask, so the psum is the true global sum
     # and non-last ranks contribute zero gradient through this path.
     x = rms_norm(dec_out.reshape(B, T, D), dec["final_ln"],
                  tcfg.layer_norm_epsilon)
+    if use_drop:  # T5Stack decoder output dropout
+        x = _dropout(x, rate, jax.random.fold_in(rng, 5))
     x = x * (tcfg.d_model ** -0.5)
     logits = jnp.dot(x, params["t5"]["shared"].T.astype(x.dtype))
     logits = logits.astype(jnp.float32)
@@ -250,11 +300,13 @@ def make_train_step_pp(cfg: mprgen.MPRGenConfig, trainable=None, *,
                        donate: bool = True):
     """Pipelined loss+grad+AdamW in one jit over a ("data","pipe") mesh.
 
-    fn(params, opt_state, batch, lr) -> (params, opt_state, loss), with
-    params/opt_state layer-sharded per ``param_specs``
+    fn(params, opt_state, batch, lr, rng) -> (params, opt_state, loss),
+    with params/opt_state layer-sharded per ``param_specs``
     (:func:`param_pipe_specs`) and the batch sharded over "data".
-    ``microbatches`` defaults to the stage count. Deterministic (no
-    dropout) — see :func:`pp_generative_loss`.
+    ``microbatches`` defaults to the stage count. ``rng`` (replicated)
+    enables training dropout at cfg.t5.dropout_rate via the per-(stage,
+    microbatch) key schedule in :func:`pp_generative_loss`; with
+    dropout_rate == 0 the step is deterministic and DP-exact.
     """
     from jax import shard_map
 
@@ -266,14 +318,14 @@ def make_train_step_pp(cfg: mprgen.MPRGenConfig, trainable=None, *,
             f"into {n_stages} pipeline stages")
     M = microbatches or max(n_stages, 1)
 
-    def local_step(params, opt_state, batch, lr):
+    def local_step(params, opt_state, batch, lr, rng):
         # Differentiate the rank-LOCAL partial loss (reduce=False) — see
         # pp_generative_loss: psum transposes to psum, so a pre-reduced
         # loss would seed every rank and scale gradients by the rank
         # count. Reduce the value and merge the gradients afterwards.
         loss, grads = jax.value_and_grad(pp_generative_loss)(
             params, cfg, batch, n_stages=n_stages, microbatches=M,
-            reduce=False)
+            reduce=False, rng=rng if tc.dropout_rate > 0.0 else None)
         loss = lax.psum(lax.psum(loss, "pipe"), "data")
 
         # Block grads are complete on their stage (autodiff routed them
@@ -292,7 +344,7 @@ def make_train_step_pp(cfg: mprgen.MPRGenConfig, trainable=None, *,
 
     opt_specs = {"mu": param_specs, "nu": param_specs, "step": P()}
     fn = shard_map(local_step, mesh=mesh,
-                   in_specs=(param_specs, opt_specs, P("data"), P()),
+                   in_specs=(param_specs, opt_specs, P("data"), P(), P()),
                    out_specs=(param_specs, opt_specs, P()),
                    check_vma=False)
     kwargs: Dict[str, Any] = {}

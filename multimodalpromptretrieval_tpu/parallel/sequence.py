@@ -229,6 +229,188 @@ def _sp_t5_encode_fn(cfg, mesh: Mesh, seq_axis: str, data_axis: str):
     return jax.jit(fn), x_spec, m_spec
 
 
+def sp_generative_loss(params, cfg, batch, *, n_seq: int,
+                       data_axis: str = "data", seq_axis: str = "seq",
+                       reduce: bool = True, rng=None):
+    """Sequence-parallel generative CE loss, inside shard_map over a
+    ("data", "seq") mesh — the config-reachable SP training path
+    (VERDICT r3 item 4: ``"parallelism": {"seq": N}``).
+
+    Shape of the computation: every rank computes the replicated front
+    end (vision prefix + token embeds — mprgen.combine_inputs), slices
+    its contiguous sequence chunk, runs the full encoder stack with
+    :func:`ring_attention` (per-tile relative-position bias, exactly the
+    :func:`sp_t5_encode` math), all_gathers the encoder states over
+    "seq", and runs the teacher-forced decoder + CE (models/t5.
+    t5_decode_train — T is small, so the decoder is replicated over
+    "seq" and only rank 0's loss term survives; the all_gather transpose
+    routes decoder cotangents back to each rank's encoder chunk).
+    Sequence lengths that don't divide ``n_seq`` are zero-padded with a
+    masked tail (exact: ring attention masks pad keys, the decoder
+    cross-attention masks pad encoder states).
+
+    Dropout (``rng`` not None and cfg.t5.dropout_rate > 0): every T5
+    dropout site is per-position, hence chunk-local — each rank draws
+    from fold_in(enc_base, rank) advanced through the layer loop; the
+    decoder reuses the DP key schedule. Same rate as DP, intentionally
+    different bits (dropout bits are not a parity surface —
+    train/rng.py). With dropout off the trajectory matches DP up to the
+    ring's flash-style summation order (~1e-5; tests).
+
+    ``reduce=False`` returns the rank-LOCAL partial for
+    ``value_and_grad`` (psum transposes to psum — same contract as
+    parallel/pipeline.pp_generative_loss); the train step psums value
+    and grads afterwards.
+    """
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.models import t5 as t5m
+    from multimodalpromptretrieval_tpu.ops.layers import (
+        dense as _dense,
+        dropout as _drop,
+        rms_norm as _rms_norm,
+    )
+
+    tcfg = cfg.t5
+    r = lax.axis_index(seq_axis)
+    params_c = mprgen.cast_compute(params, cfg)
+    images, tokens = mprgen._batch_visual(batch, cfg)
+    embeds, mask = mprgen.combine_inputs(params_c, cfg, images,
+                                         batch["input_ids"],
+                                         batch["text_mask"], tokens)
+    rate = tcfg.dropout_rate
+    use_drop = rng is not None and rate > 0.0
+    # namespaced encoder key base: t5_decode_train folds constants 2/3/4
+    # off the raw key, so the encoder draws from a disjoint stream
+    enc_rng = jax.random.fold_in(rng, 1000) if use_drop else None
+    if use_drop:  # T5Stack input dropout; same key on every rank so the
+        # chunks slice one consistent dropped-out tensor
+        embeds = _drop(embeds, rate, jax.random.fold_in(enc_rng, 0))
+    B, L, D = embeds.shape
+    Lc = -(-L // n_seq)  # ceil: pad ragged tails with masked positions
+    Lp = Lc * n_seq
+    mask = mask.astype(jnp.bool_)
+    if Lp != L:
+        embeds = jnp.pad(embeds, ((0, 0), (0, Lp - L), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, Lp - L)))
+    x = lax.dynamic_slice_in_dim(embeds, r * Lc, Lc, axis=1)
+    mask_c = lax.dynamic_slice_in_dim(mask, r * Lc, Lc, axis=1)
+
+    enc = params_c["t5"]["encoder"]
+    H, Dh = tcfg.num_heads, tcfg.d_kv
+    eps = tcfg.layer_norm_epsilon
+    rel = enc["rel_bias"]
+
+    def tile_fn(q_off, k_off):
+        ctx = q_off + lax.broadcasted_iota(jnp.int32, (Lc, Lc), 0)
+        mem = k_off + lax.broadcasted_iota(jnp.int32, (Lc, Lc), 1)
+        buckets = t5m.relative_position_bucket(
+            mem - ctx, bidirectional=True,
+            num_buckets=tcfg.relative_attention_num_buckets,
+            max_distance=tcfg.relative_attention_max_distance)
+        return jnp.transpose(rel[buckets], (2, 0, 1))
+
+    def heads(y):
+        return jnp.transpose(y.reshape(B, Lc, H, Dh), (0, 2, 1, 3))
+
+    def layer(carry, p):
+        xc, lrng = carry
+        r1 = r2 = r3 = None
+        if use_drop:
+            lrng, r1, r2, r3 = jax.random.split(lrng, 4)
+        h = _rms_norm(xc, p["attn_ln"], eps)
+        q = heads(_dense(h, p["attn"]["q"]))
+        k = heads(_dense(h, p["attn"]["k"]))
+        v = heads(_dense(h, p["attn"]["v"]))
+        o = ring_attention(q, k, v, axis=seq_axis, n_ranks=n_seq,
+                           bias_tile_fn=tile_fn, kv_mask=mask_c,
+                           causal=False, scale=1.0)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, Lc, H * Dh)
+        xc = xc + _drop(_dense(o, p["attn"]["o"]), rate, r1)
+        h = _rms_norm(xc, p["ff_ln"], eps)
+        xc = xc + _drop(t5m._ff_block(p["ff"], tcfg, h, rate=rate,
+                                      rng=r2), rate, r3)
+        return (xc, lrng), None
+
+    lrng0 = (jax.random.fold_in(jax.random.fold_in(enc_rng, 1), r)
+             if use_drop else None)
+    (x, _), _ = lax.scan(layer, (x, lrng0), enc["block"])
+    x = _rms_norm(x, enc["final_ln"], eps)
+    if use_drop:  # T5Stack encoder output dropout, per-rank chunk
+        x = _drop(x, rate,
+                  jax.random.fold_in(jax.random.fold_in(enc_rng, 2), r))
+    # gather the full encoder states for the decoder's cross-attention
+    enc_hidden = lax.all_gather(x, seq_axis, axis=1, tiled=True)
+
+    labels = batch["labels"]
+    logits = t5m.t5_decode_train(
+        params_c["t5"], tcfg, enc_hidden, mask,
+        t5m.shift_right(labels, tcfg), rng if use_drop else None)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # decoder work is replicated over "seq": mask all but rank 0 so the
+    # psum-merge of the value and of the shared-param grads stays exact
+    ll_sum = jnp.where(r == 0, jnp.sum(ll * valid), 0.0)
+    count = lax.psum(jnp.sum(valid), data_axis)  # global; no grad path
+    loss = -ll_sum / jnp.maximum(count, 1)
+    if reduce:
+        loss = lax.psum(lax.psum(loss, seq_axis), data_axis)
+    return loss
+
+
+def make_train_step_sp(cfg, trainable=None, *, mesh: Mesh,
+                       donate: bool = True):
+    """SP loss+grad+AdamW in one jit over a ("data","seq") mesh.
+
+    fn(params, opt_state, batch, lr, rng) -> (params, opt_state, loss);
+    params/opt_state replicated, batch sharded over "data" (each "seq"
+    rank sees the same rows and owns a sequence chunk), rng replicated
+    (drives the SP dropout schedule when cfg.t5.dropout_rate > 0). Same
+    signature as the DP/TP and PP steps so Experiment.train is agnostic.
+    """
+    from jax import shard_map
+
+    from multimodalpromptretrieval_tpu.train.optim import adamw_update
+
+    n_seq = mesh.shape["seq"]
+
+    def local_step(params, opt_state, batch, lr, rng):
+        # differentiate the rank-LOCAL partial (reduce=False), then psum
+        # value and grads — see sp_generative_loss / pp_generative_loss
+        loss, grads = jax.value_and_grad(sp_generative_loss)(
+            params, cfg, batch, n_seq=n_seq, reduce=False,
+            rng=rng if cfg.t5.dropout_rate > 0.0 else None)
+        loss = lax.psum(lax.psum(loss, "seq"), "data")
+        grads = jax.tree.map(
+            lambda g: lax.psum(lax.psum(g, "seq"), "data"), grads)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         trainable=trainable)
+        return params, opt_state, loss
+
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(P(), P(), P("data"), P(), P()),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    kwargs = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(fn, **kwargs)
+
+
+def make_eval_loss_step_sp(cfg, *, mesh: Mesh):
+    """Deterministic SP eval loss: fn(params, batch) -> global mean CE
+    (equals mprgen.loss_fn with rng=None up to the ring's summation
+    order) — the eval half of the config-wired SP path."""
+    from jax import shard_map
+
+    n_seq = mesh.shape["seq"]
+
+    def local(params, batch):
+        return sp_generative_loss(params, cfg, batch, n_seq=n_seq)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
 def make_sp_attention(mesh: Mesh, *, causal: bool = False,
                       scale: Optional[float] = None,
                       seq_axis: str = "seq", data_axis: str = "data"):

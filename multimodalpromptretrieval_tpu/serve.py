@@ -48,6 +48,15 @@ class AnswerHandle:
 
     def result(self) -> List[str]:
         self._server._drain(self)
+        if getattr(self, "_perm", None) is not None:
+            # length-sorted dispatch (MPRServer length_sort): chunk i held
+            # the rows at _perm[i*B:(i+1)*B] of the original request —
+            # restore the caller's order exactly once
+            out: List[str] = [""] * len(self.answers)
+            for sorted_pos, orig_idx in enumerate(self._perm):
+                out[orig_idx] = self.answers[sorted_pos]
+            self.answers = out
+            self._perm = None
         return self.answers
 
 
@@ -55,7 +64,7 @@ class MPRServer:
     def __init__(self, experiment, load_checkpoint: bool = True,
                  max_new_tokens: int = 20, prompt_fastpath: bool = True,
                  pipeline_depth: int = 1, quantize: Optional[str] = None,
-                 spec_decode: int = 0):
+                 spec_decode: int = 0, length_sort: bool = False):
         import os
 
         from multimodalpromptretrieval_tpu.train import checkpoint as ckpt
@@ -103,6 +112,15 @@ class MPRServer:
         # in-graph); outputs are identical either way — see
         # models/t5.t5_spec_greedy_decode
         self.spec_decode = max(0, int(spec_decode))
+        # answer-length-aware chunk composition (VERDICT r3 item 3): a
+        # fused chunk decodes until its SLOWEST row emits EOS, so mixed
+        # workloads waste steps. With length_sort, a retrieval pre-pass
+        # predicts each row's answer length (the retrieved majority
+        # answer's length — the same signal the spec-decode drafts use)
+        # and requests are re-chunked by it; answers return in the
+        # caller's order (AnswerHandle unsorts). Costs one extra
+        # retrieval fetch per request; opt-in, measured in bench.py.
+        self.length_sort = bool(length_sort)
         self._fused_predict = None
         self._fused_key = None  # retrieval config the fused step captured
         self._hint_tables = None  # None = not built; False = unavailable
@@ -266,6 +284,31 @@ class MPRServer:
         _, idx = exp.retrieval_index.topk(q, k=exp.k)
         return k, idx
 
+    def _length_sort_order(self, questions: Sequence[str],
+                           rowmap: np.ndarray, emb_dev) -> np.ndarray:
+        """Stable row order by PREDICTED answer length for the fused
+        path: one retrieval pre-pass (text tower + device top-k per
+        chunk, indices fetched in ONE round-trip — the same shape the
+        host path's up-front dispatch uses), then the formatted hint
+        length of each row's majority answer is the sort key. Short
+        predicted answers group into chunks that hit all-rows-EOS early;
+        long ones stop stalling them. The fused chunk still runs its own
+        in-graph retrieval, so answers stay token-exact — the pre-pass
+        only chooses chunk membership."""
+        exp = self.exp
+        B = exp.batch_size
+        n = len(questions)
+        parts = [self._dispatch_chunk_retrieval(
+            questions[s:s + B], emb_dev, rowmap[s:s + B])
+            for s in range(0, n, B)]
+        idx_all = (jnp.concatenate([idx[:kv] for kv, idx in parts])
+                   if len(parts) > 1 else parts[0][1][:parts[0][0]])
+        idx_np = np.asarray(idx_all)  # the pre-pass's single sync
+        hints = exp.retrieval_index.format_prompts(
+            idx_np, use_quantifier=exp.use_quantifier)
+        key = np.asarray([len(h) for h in hints])
+        return np.argsort(key, kind="stable")
+
     def answer(self, images: np.ndarray, questions: Sequence[str],
                tasks: Optional[Sequence[str]] = None,
                image_ids: Optional[Sequence] = None) -> List[str]:
@@ -342,8 +385,17 @@ class MPRServer:
                                for q, t in zip(questions, tasks)]
                     if all(exp.tokenizer.concat_safe(p, ht.first_char)
                            for p in prompts):
-                        return self._answer_fused(
+                        perm = None
+                        if self.length_sort and n > B:
+                            perm = self._length_sort_order(
+                                questions, rowmap, emb_dev)
+                            prompts = [prompts[i] for i in perm]
+                            questions = [questions[i] for i in perm]
+                            rowmap = rowmap[perm]
+                        handle = self._answer_fused(
                             prompts, questions, rowmap, emb_dev, pref_dev)
+                        handle._perm = perm
+                        return handle
             if self._prefix_predict is None:
                 self._prefix_predict = pmesh.make_prefix_predict_step(
                     mcfg, max_new_tokens=self.max_new_tokens,

@@ -53,6 +53,7 @@ from multimodalpromptretrieval_tpu.models.t5 import T5Config
 from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
 from multimodalpromptretrieval_tpu.parallel import multihost
 from multimodalpromptretrieval_tpu.parallel import pipeline as ppipe
+from multimodalpromptretrieval_tpu.parallel import sequence as pseq
 from multimodalpromptretrieval_tpu.retrieval.index import RetrievalIndex
 from multimodalpromptretrieval_tpu.text import (
     CLIPBPETokenizer,
@@ -138,10 +139,13 @@ class Experiment:
         # kernels, "pipe" -> GPipe PP over the layer stacks
         self.n_model = mesh.shape.get("model", 1)
         self.n_pipe = mesh.shape.get("pipe", 1)
+        self.n_seq = mesh.shape.get("seq", 1)  # "seq" -> ring-attention SP
         self.pp_microbatches = int(
             (cfg.get("parallelism") or {}).get("microbatches", 0))
         if self.n_pipe > 1 and train_mode:
             self._check_pp_config(cfg)
+        if self.n_seq > 1 and train_mode:
+            self._check_sp_config(cfg)
         # Multi-host runs (parallel/multihost.py): every process executes
         # the same train loop over the same host data; only process 0
         # writes checkpoints / logs. True in single-process runs.
@@ -262,7 +266,10 @@ class Experiment:
         self.params = mprgen.init_mprgen(init_key, self.model_cfg)
         self._load_pretrained(cfg)
         self.trainable = mprgen.trainable_mask(self.params, self.model_cfg)
-        self.opt_state = adamw_init(self.params)
+        # AdamW moments only exist for training runs: the fp32 mu/nu pair
+        # costs 2x the param bytes (t5-large: ~7 GB HBM) and nothing in
+        # the eval/serve path reads it (train()/resume allocate-on-use)
+        self.opt_state = adamw_init(self.params) if train_mode else None
 
         # -- image caches ------------------------------------------------------
         self.image_size = clip_cfg.image_resolution
@@ -304,21 +311,25 @@ class Experiment:
         (SURVEY.md §2c: the mesh is the first-class strategy, so it must be
         reachable from the user-facing config, not just the library).
 
-        Schema: ``"parallelism": {"model": N, "pipe": N, "data": N,
-        "microbatches": M}`` — all optional. "model" > 1 runs Megatron TP
-        over the T5 kernels (parallel/mesh.param_shardings); "pipe" > 1
-        runs GPipe PP over the layer stacks (parallel/pipeline). The data
+        Schema: ``"parallelism": {"model": N, "pipe": N, "seq": N,
+        "data": N, "microbatches": M}`` — all optional. "model" > 1 runs
+        Megatron TP over the T5 kernels (parallel/mesh.param_shardings);
+        "pipe" > 1 runs GPipe PP over the layer stacks
+        (parallel/pipeline); "seq" > 1 runs ring-attention sequence
+        parallelism over the T5 encoder (parallel/sequence). The data
         axis defaults to the remaining devices, shrunk until it divides the
         static batch size."""
         par = dict(cfg.get("parallelism") or {})
         n_model = int(par.get("model", 1))
         n_pipe = int(par.get("pipe", 1))
-        if n_model > 1 and n_pipe > 1:
+        n_seq = int(par.get("seq", 1))
+        if sum(n > 1 for n in (n_model, n_pipe, n_seq)) > 1:
             raise ValueError(
-                "parallelism: combined model+pipe meshes are not supported;"
-                " set only one of 'model' / 'pipe' above 1")
+                "parallelism: combined model+pipe/seq meshes are not "
+                "supported; set only one of 'model' / 'pipe' / 'seq' "
+                "above 1")
         n_dev = len(jax.devices())
-        width = n_model * n_pipe
+        width = n_model * n_pipe * n_seq
         if n_dev % width:
             raise ValueError(
                 f"parallelism: model*pipe = {width} does not divide the "
@@ -341,20 +352,21 @@ class Experiment:
                 f"{n_dev} available devices")
         if n_pipe > 1:
             return ppipe.get_pipe_mesh(n_data=n, n_pipe=n_pipe)
+        if n_seq > 1:
+            return pseq.get_seq_mesh(n_data=n, n_seq=n_seq)
         return pmesh.get_mesh(n_data=n, n_model=n_model)
 
     def _check_pp_config(self, cfg) -> None:
-        """Pipeline parallelism covers the deterministic generative loss
-        only (parallel/pipeline.pp_generative_loss) — refuse configs that
-        would silently change semantics rather than approximating them."""
+        """Pipeline parallelism covers the generative loss only
+        (parallel/pipeline.pp_generative_loss) — refuse configs that
+        would silently change semantics rather than approximating them.
+        Dropout is supported (r4): the default recipe (dropout 0.1,
+        config/experiment.json) pipelines; masks use the PP key schedule
+        (pp_generative_loss docstring)."""
         problems = []
         if cfg.get("use_prediction_head") or cfg.get("use_BAN"):
             problems.append(
                 "prediction-head / BAN variants are not pipelined")
-        if (cfg.get("t5_overrides") or {}).get("dropout_rate", 0.1) != 0.0:
-            problems.append(
-                "the PP step trains deterministically (no dropout): set "
-                '"t5_overrides": {"dropout_rate": 0.0}')
         if cfg.get("exact_train_predict"):
             problems.append(
                 "exact_train_predict greedy-decodes on every train batch, "
@@ -363,6 +375,19 @@ class Experiment:
             raise ValueError(
                 "parallelism.pipe > 1 is incompatible with this config: "
                 + "; ".join(problems))
+
+    def _check_sp_config(self, cfg) -> None:
+        """Sequence parallelism covers the generative loss (the ring
+        encoder + replicated decoder, parallel/sequence.
+        sp_generative_loss) — refuse variants whose losses aren't SP'd
+        rather than silently falling back. Dropout is supported (every
+        T5 dropout site is chunk-local; see the sp_generative_loss key
+        schedule)."""
+        if cfg.get("use_prediction_head") or cfg.get("use_BAN"):
+            raise ValueError(
+                "parallelism.seq > 1 is incompatible with this config: "
+                "prediction-head / BAN variants are not "
+                "sequence-parallelized")
 
     @staticmethod
     def _override_t5(t5_cfg: T5Config, cfg) -> T5Config:
@@ -837,13 +862,17 @@ class Experiment:
         if self._train_step is None:
             if self.n_pipe > 1:
                 specs = ppipe.param_pipe_specs(self.params)
-                pp = ppipe.make_train_step_pp(
+                # same (params, opt, batch, lr, rng) signature as the
+                # DP/TP step; rng drives the PP dropout key schedule
+                self._train_step = ppipe.make_train_step_pp(
                     self.model_cfg, self.trainable, mesh=self.mesh,
                     param_specs=specs,
                     microbatches=self.pp_microbatches)
-                # uniform signature with the DP/TP step; the PP loss is
-                # deterministic so the dropout key is unused
-                self._train_step = lambda p, o, b, lr, rng: pp(p, o, b, lr)
+            elif self.n_seq > 1:
+                # ring-attention SP over the encoder (parallel/sequence);
+                # params replicated, batch sharded on "data"
+                self._train_step = pseq.make_train_step_sp(
+                    self.model_cfg, self.trainable, mesh=self.mesh)
             else:
                 self._train_step = pmesh.make_train_step(
                     self.model_cfg, self.trainable, mesh=self.mesh,
@@ -857,6 +886,9 @@ class Experiment:
                     self.model_cfg, mesh=self.mesh,
                     param_specs=ppipe.param_pipe_specs(self.params),
                     microbatches=self.pp_microbatches)
+            elif self.n_seq > 1:
+                self._eval_step = pseq.make_eval_loss_step_sp(
+                    self.model_cfg, mesh=self.mesh)
             else:
                 self._eval_step = pmesh.make_eval_loss_step(
                     self.model_cfg, mesh=self.mesh,
@@ -890,6 +922,8 @@ class Experiment:
     def train(self, resume: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         hp = cfg["hyperparameters"]
+        if self.opt_state is None:  # experiment built with train_mode=False
+            self.opt_state = adamw_init(self.params)
         resume_meta: Dict[str, Any] = {}
         if resume:
             if not os.path.exists(self.model_path):

@@ -33,8 +33,8 @@ def _cfg(synth_root, **kw):
                            image_size=32)
     cfg["clip_overrides"]["image_resolution"] = 32
     cfg["clip_overrides"]["patch_size"] = 16
-    # deterministic training so DP / TP / PP trajectories are comparable
-    # (and required by the PP step, which refuses dropout configs)
+    # deterministic training so DP / TP / PP / SP trajectories are
+    # comparable (dropout variants pop this override back off)
     cfg["t5_overrides"]["dropout_rate"] = 0.0
     cfg.update(kw)
     return cfg
@@ -106,10 +106,53 @@ def test_pp_from_config_matches_dp(synth_root, tmp_path, dp_run):
     assert sum(m.total.values()) == 24
 
 
-def test_pp_refuses_dropout(synth_root):
+def test_sp_from_config_matches_dp(synth_root, tmp_path, dp_run):
+    """VERDICT r3 item 4: `"parallelism": {"seq": 2}` engages the
+    ring-attention SP train/eval path from the user-facing config; the
+    deterministic trajectory matches DP."""
+    _, dp_res, dp_losses = dp_run
+    cfg = _cfg(synth_root, parallelism={"seq": 2})
+    exp, res, losses = _train_losses(cfg, str(tmp_path), "sp")
+    assert exp.mesh.shape["seq"] == 2
+    assert exp.n_seq == 2
+    np.testing.assert_allclose(losses, dp_losses, rtol=2e-3)
+    np.testing.assert_allclose(res["best_valid_loss"],
+                               dp_res["best_valid_loss"], rtol=2e-3)
+    # the test verb runs with replicated params straight off the SP mesh
+    exp2 = Experiment(cfg, train_mode=False,
+                      log_root=os.path.join(str(tmp_path), "logs_sp"),
+                      model_root=os.path.join(str(tmp_path), "models_sp"),
+                      quiet=True)
+    exp2.model_path = exp.model_path
+    m = exp2.test()
+    assert sum(m.total.values()) == 24
+
+
+def test_pp_with_dropout_from_config(synth_root, tmp_path):
+    """VERDICT r3 item 5 (replaces test_pp_refuses_dropout): the
+    reference's default recipe — dropout 0.1 — now trains under
+    `"parallelism": {"pipe": 2}`. The loss must decrease and the run
+    must complete with a finite best validation loss."""
     cfg = _cfg(synth_root, parallelism={"pipe": 2})
+    cfg["t5_overrides"].pop("dropout_rate")  # back to the 0.1 default
+    exp, res, losses = _train_losses(cfg, str(tmp_path), "ppd")
+    assert exp.n_pipe == 2
+    assert np.isfinite(res["best_valid_loss"])
+    assert losses[-1] < losses[0]
+
+
+def test_sp_with_dropout_from_config(synth_root, tmp_path):
+    cfg = _cfg(synth_root, parallelism={"seq": 2})
     cfg["t5_overrides"].pop("dropout_rate")
-    with pytest.raises(ValueError, match="dropout"):
+    exp, res, losses = _train_losses(cfg, str(tmp_path), "spd")
+    assert exp.n_seq == 2
+    assert np.isfinite(res["best_valid_loss"])
+    assert losses[-1] < losses[0]
+
+
+def test_sp_refuses_prediction_head(synth_root):
+    cfg = _cfg(synth_root, parallelism={"seq": 2}, use_prediction_head=1)
+    with pytest.raises(ValueError, match="sequence-parallelized"):
         Experiment(cfg, train_mode=True, quiet=True)
 
 
@@ -122,6 +165,12 @@ def test_pp_refuses_prediction_head(synth_root):
 
 def test_rejects_combined_tp_pp(synth_root):
     cfg = _cfg(synth_root, parallelism={"model": 2, "pipe": 2})
+    with pytest.raises(ValueError, match="model\\+pipe"):
+        Experiment(cfg, train_mode=True, quiet=True)
+
+
+def test_rejects_combined_tp_sp(synth_root):
+    cfg = _cfg(synth_root, parallelism={"model": 2, "seq": 2})
     with pytest.raises(ValueError, match="model\\+pipe"):
         Experiment(cfg, train_mode=True, quiet=True)
 

@@ -107,7 +107,7 @@ def test_pp_train_step_matches_single_device(pipe_mesh):
     b = pmesh.shard_batch(batch, pipe_mesh)
     step_pp = pp.make_train_step_pp(cfg, trainable, mesh=pipe_mesh,
                                     param_specs=specs, donate=False)
-    p2, o2, loss2 = step_pp(p, o, b, jnp.float32(1e-3))
+    p2, o2, loss2 = step_pp(p, o, b, jnp.float32(1e-3), None)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     # Gradient fidelity, checked through the raw first moments (mu = 0.1*g
@@ -134,6 +134,46 @@ def test_pp_train_step_matches_single_device(pipe_mesh):
         ref_wi = np.asarray(p1["t5"][tower]["block"]["ff"]["wi"])
         got_wi = np.asarray(p2["t5"][tower]["block"]["ff"]["wi"])
         np.testing.assert_allclose(ref_wi, got_wi, rtol=1e-3, atol=5e-4)
+
+
+def test_pp_train_step_with_dropout(pipe_mesh):
+    """VERDICT r3 item 5: pipe>1 must run the reference's default recipe
+    (dropout 0.1). Masks come from the deterministic per-(stage,
+    microbatch) key schedule — deterministic given the key, different
+    across keys, loss near (not equal to) the deterministic value, and a
+    short training run converges."""
+    cfg = _tiny_cfg()
+    assert cfg.t5.dropout_rate > 0.0  # T5Config default: the real recipe
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    batch = _batch(cfg, 16)
+    specs = pp.param_pipe_specs(params)
+    p = pp.shard_params_pp(params, pipe_mesh)
+    o = pp.shard_params_pp(opt, pipe_mesh)
+    b = pmesh.shard_batch(batch, pipe_mesh)
+    step_pp = pp.make_train_step_pp(cfg, trainable, mesh=pipe_mesh,
+                                    param_specs=specs, donate=False)
+    key = jax.random.PRNGKey(7)
+    p1, _, l1 = step_pp(p, o, b, jnp.float32(1e-3), key)
+    p2, _, l2 = step_pp(p, o, b, jnp.float32(1e-3), key)
+    assert float(l1) == float(l2)  # deterministic given (seed, mesh)
+    np.testing.assert_array_equal(np.asarray(p1["t5"]["shared"]),
+                                  np.asarray(p2["t5"]["shared"]))
+    _, _, l3 = step_pp(p, o, b, jnp.float32(1e-3), jax.random.PRNGKey(8))
+    assert float(l3) != float(l1)  # a different key draws different masks
+    det = float(jax.jit(lambda pr, bt: mprgen.loss_fn(pr, cfg, bt))(
+        params, batch))
+    assert float(l1) != det            # dropout actually engaged
+    assert abs(float(l1) - det) / det < 0.25  # ... at the right rate
+    # convergence sanity: a few dropout steps decrease the loss
+    pcur, ocur = p, o
+    losses = []
+    for i in range(6):
+        pcur, ocur, l = step_pp(pcur, ocur, b, jnp.float32(1e-3),
+                                jax.random.fold_in(key, i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
 
 
 def test_pp_more_microbatches_than_stages(pipe_mesh):

@@ -118,6 +118,118 @@ def test_sp_t5_encode_matches_t5_encode_L4096(seq_mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+def _sp_loss_fixtures():
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.models.clip import CLIPConfig
+    from multimodalpromptretrieval_tpu.models.t5 import T5Config
+
+    cfg = mprgen.MPRGenConfig(
+        t5=T5Config(vocab_size=256, d_model=32, d_kv=8, d_ff=64,
+                    num_layers=4, num_decoder_layers=4, num_heads=4),
+        clip=CLIPConfig(embed_dim=32, image_resolution=32, vision_width=32,
+                        vision_layers=1, patch_size=16, context_length=8,
+                        vocab_size=64, text_width=32,
+                        vision_heads_override=2, text_heads_override=2),
+        use_image_info=True)
+    rng = np.random.default_rng(0)
+    B = 16
+    labels = rng.integers(2, 256, size=(B, 6)).astype(np.int32)
+    labels[:, -2:] = -100
+    # text width 12 -> L = 4 (prefix) + 12 = 16? no: ViT 32/16 patches ->
+    # 5 tokens; L = 5 + 12 = 17, NOT divisible by n_seq=4 — deliberately
+    # exercises the masked-pad tail
+    batch = {"images": rng.normal(size=(B, 3, 32, 32)).astype(np.float32),
+             "input_ids": rng.integers(2, 256,
+                                       size=(B, 12)).astype(np.int32),
+             "text_mask": np.ones((B, 12), np.int32),
+             "labels": labels}
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    return cfg, params, batch
+
+
+def test_sp_generative_loss_matches_loss_fn(seq_mesh):
+    """The config-reachable SP training loss (sp_generative_loss): ring
+    encoder + replicated decoder over ("data","seq") == the single-device
+    mprgen.loss_fn, including a sequence length that does NOT divide the
+    seq axis (masked zero-pad tail)."""
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+
+    cfg, params, batch = _sp_loss_fixtures()
+    ref = float(jax.jit(lambda p, b: mprgen.loss_fn(p, cfg, b))(
+        params, batch))
+    b = pmesh.shard_batch(batch, seq_mesh)
+    got = float(sp.make_eval_loss_step_sp(cfg, mesh=seq_mesh)(params, b))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_sp_train_step_matches_dp(seq_mesh):
+    """Deterministic SP train step == the DP step: loss exact, raw first
+    moments (gradients) tight, updated params loose (AdamW's first step
+    amplifies eps-scale noise — same tolerances as the PP tests)."""
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+    from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+    cfg, params, batch = _sp_loss_fixtures()
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    step_dp = pmesh.make_train_step(cfg, trainable, donate=False)
+    p1, o1, l1 = step_dp(params, opt, batch, jnp.float32(1e-3), None)
+    b = pmesh.shard_batch(batch, seq_mesh)
+    step_sp = sp.make_train_step_sp(cfg, trainable, mesh=seq_mesh,
+                                    donate=False)
+    p2, o2, l2 = step_sp(params, opt, b, jnp.float32(1e-3), None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(o1["mu"]["t5"]["shared"]),
+        np.asarray(o2["mu"]["t5"]["shared"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(o1["mu"]["t5"]["encoder"]["block"]["attn"]["q"]),
+        np.asarray(o2["mu"]["t5"]["encoder"]["block"]["attn"]["q"]),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1["t5"]["shared"]), np.asarray(p2["t5"]["shared"]),
+        rtol=1e-3, atol=5e-4)
+
+
+def test_sp_train_step_with_dropout(seq_mesh):
+    """SP supports the default recipe (dropout 0.1): deterministic given
+    the key, distinct across keys, loss near-but-not-equal to the
+    deterministic value, and a short run converges."""
+    from multimodalpromptretrieval_tpu.models import mprgen
+    from multimodalpromptretrieval_tpu.parallel import mesh as pmesh
+    from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+    cfg, params, batch = _sp_loss_fixtures()
+    assert cfg.t5.dropout_rate > 0.0
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    b = pmesh.shard_batch(batch, seq_mesh)
+    step_sp = sp.make_train_step_sp(cfg, trainable, mesh=seq_mesh,
+                                    donate=False)
+    key = jax.random.PRNGKey(7)
+    p1, _, l1 = step_sp(params, opt, b, jnp.float32(1e-3), key)
+    p2, _, l2 = step_sp(params, opt, b, jnp.float32(1e-3), key)
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(np.asarray(p1["t5"]["shared"]),
+                                  np.asarray(p2["t5"]["shared"]))
+    _, _, l3 = step_sp(params, opt, b, jnp.float32(1e-3),
+                       jax.random.PRNGKey(8))
+    assert float(l3) != float(l1)
+    det = float(jax.jit(lambda pr, bt: mprgen.loss_fn(pr, cfg, bt))(
+        params, batch))
+    assert float(l1) != det
+    assert abs(float(l1) - det) / det < 0.25
+    pcur, ocur = params, opt
+    losses = []
+    for i in range(6):
+        pcur, ocur, l = step_sp(pcur, ocur, b, jnp.float32(1e-3),
+                                jax.random.fold_in(key, i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
 def test_sp_t5_encode_rejects_indivisible_shapes(seq_mesh):
     """Misfit shapes fail with a clear ValueError before any device_put
     (ADVICE r3), not a cryptic sharding error."""

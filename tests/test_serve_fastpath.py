@@ -415,6 +415,37 @@ def test_continuation_exactness_fuzz():
     assert n_safe >= 20 and n_unsafe >= 20, (n_safe, n_unsafe)
 
 
+def test_length_sort_answers_match_unsorted(trained):
+    """MPRServer(length_sort=True): answer-length-aware chunk composition
+    re-orders rows across chunk boundaries (retrieval pre-pass predicts
+    answer lengths) but must return identical answers in the CALLER'S
+    order — the AnswerHandle unsorts exactly once, including across
+    repeated result() calls and the pipelined submit path."""
+    sorted_srv = MPRServer(trained, length_sort=True, pipeline_depth=2)
+    base = MPRServer(trained)
+    # 11 rows over batch_size=4 chunks -> the sort actually re-chunks
+    entries = (trained.dataset_test.entries * 2)[:11]
+    images = np.stack([trained.images[e["image_name"]] for e in entries])
+    questions = [e["question"] for e in entries]
+    tasks = [e["task"] for e in entries]
+    ids = [e["image_name"] for e in entries]
+    a_sorted = sorted_srv.answer(images, questions, tasks, image_ids=ids)
+    a_base = base.answer(images, questions, tasks, image_ids=ids)
+    assert a_sorted == a_base
+    assert sorted_srv._fused_predict is not None  # fast path engaged
+    # result() twice: the unsort must not be applied twice
+    h = sorted_srv.submit(images, questions, tasks, image_ids=ids)
+    assert h.result() == a_base
+    assert h.result() == a_base
+    # pipelined: two requests in flight, both unsorted correctly
+    h1 = sorted_srv.submit(images, questions, tasks, image_ids=ids)
+    h2 = sorted_srv.submit(images, list(reversed(questions)),
+                           list(reversed(tasks)),
+                           image_ids=list(reversed(ids)))
+    assert h1.result() == a_base
+    assert h2.result() == list(reversed(a_base))
+
+
 def test_spec_decode_answers_match_lockstep(trained):
     """MPRServer(spec_decode=4): hint-draft speculative decode through the
     fused step returns identical answers to the lockstep fast path (and
