@@ -423,7 +423,8 @@ def _steady_windows(server, questions, tasks, ids, n: int, args):
 
 def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True,
                     style: str = "short", spec: int = 0,
-                    train_batch: int = 0, length_sort: bool = False):
+                    train_batch: int = 0, length_sort: bool = False,
+                    trainer_overrides=None):
     # -> (best, median, pipelined_best) QA/s, or None when no checkpoint
     # and not training
     """Steady-state QA/s with a TRAINED checkpoint and decode early-exit.
@@ -459,6 +460,12 @@ def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True,
             over["batch_size"] = train_batch
         tcfg = dict(cfg)
         tcfg["hyperparameters"] = dict(cfg["hyperparameters"], **over)
+        if trainer_overrides:
+            tover = dict(trainer_overrides)
+            if "epochs" in tover:
+                tcfg["hyperparameters"] = dict(
+                    tcfg["hyperparameters"], epochs=tover.pop("epochs"))
+            tcfg.update(tover)
         # the trainer is the ONLY experiment alive here (no serving
         # experiment first): at t5-large scale two full param sets plus
         # the optimizer moments OOM the chip (r4: RESOURCE_EXHAUSTED)
@@ -688,8 +695,22 @@ def run_t5_large(args, data_dir: str, train_if_missing: bool = False):
                 "no cached t5-large checkpoint; run "
                 "`python bench.py --mode t5_large` once"}
     fields = {}
+    trainer_overrides = {
+        # scan-over-layers for the TRAINER only: the row path statically
+        # unrolls 24+24 layers, and the t5-large fwd+bwd program stalled
+        # the tunnel's remote-compile service for 70+ min (r4 measured);
+        # the scan HLO is depth-independent and numerics-identical.
+        # Serving (the measured side) keeps the fast row towers.
+        "t5_overrides": {"attention_impl": "xla"},
+        # drop AdamW moments from the checkpoint: serving never reads
+        # them and their device->host fetch is ~6 GB per save through a
+        # 10-25 MB/s tunnel
+        "checkpoint_save_optimizer": 0,
+        "epochs": args.t5_large_epochs,
+    }
     out = run_e2e_trained(la, data_dir, train_if_missing=train_if_missing,
-                          style=style, train_batch=args.t5_large_train_batch)
+                          style=style, train_batch=args.t5_large_train_batch,
+                          trainer_overrides=trainer_overrides)
     fields["t5_large_trained_qa_per_sec"] = round(out[0], 2)
     fields["t5_large_trained_pipelined_qa_per_sec"] = round(out[2], 2)
     outs = run_e2e_trained(la, data_dir, train_if_missing=False,
@@ -906,6 +927,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "t5_large): fwd/bwd activations at B=128 don't "
                         "fit next to the fp32 AdamW moments on a 16 GB "
                         "chip")
+    p.add_argument("--t5-large-epochs", type=int, default=2,
+                   help="t5-large checkpoint training epochs: 2 epochs "
+                        "at B=32 = ~78 updates, plenty for the synthetic "
+                        "corpus (t5-small's checkpoint trains on ~24 "
+                        "updates), and each improved-validation save "
+                        "fetches ~3.5 GB of params through the tunnel")
     p.add_argument("--no-int8", action="store_true",
                    help="all: skip the quantized-serving measurement")
     p.add_argument("--int8-mode", default="int8",

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve: hint-draft speculative decode block size "
                         "(0 = lockstep greedy; answers identical either "
                         "way — models/t5.t5_spec_greedy_decode)")
+    p.add_argument("--length-sort", action="store_true",
+                   help="serve: re-chunk each request by predicted "
+                        "answer length (serve.MPRServer length_sort; "
+                        "answers stay in request order)")
     p.add_argument("--config", help="config file name in the config folder")
     p.add_argument("--gpu_id", help="ignored (TPU mesh is auto-discovered)")
     p.add_argument("--model_file",
@@ -62,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def serve_stream(exp, stream, out, quantize=None,
-                 spec_decode: int = 0) -> int:
+                 spec_decode: int = 0, length_sort: bool = False) -> int:
     """Drive :class:`serve.MPRServer` over a JSONL request stream.
 
     Each input line is one request: ``{"question": str, "task": str
@@ -87,7 +91,7 @@ def serve_stream(exp, stream, out, quantize=None,
     from multimodalpromptretrieval_tpu.serve import MPRServer
 
     server = MPRServer(exp, quantize=quantize, pipeline_depth=2,
-                       spec_decode=spec_decode)
+                       spec_decode=spec_decode, length_sort=length_sort)
     size = exp.model_cfg.clip.image_resolution
     path_cache: dict = {}
 
@@ -211,7 +215,8 @@ def main(argv=None) -> None:
         stream = open(args.requests) if args.requests else sys.stdin
         try:
             serve_stream(exp, stream, sys.stdout, quantize=args.quantize,
-                         spec_decode=args.spec_decode)
+                         spec_decode=args.spec_decode,
+                         length_sort=args.length_sort)
         finally:
             if args.requests:
                 stream.close()

@@ -1036,8 +1036,15 @@ class Experiment:
             if valid_loss < best_valid:
                 self.log(f"Saving model to {self.model_path} ...")
                 if self.primary:  # multi-host: one writer per shared FS
+                    # checkpoint_save_optimizer=0 drops the AdamW moments
+                    # from the checkpoint (and skips their device->host
+                    # fetch — at t5-large scale ~6 GB per save): serving
+                    # never reads them; --resume then restarts with
+                    # fresh moments
                     ckpt.save_checkpoint(
-                        self.model_path, self.params, self.opt_state,
+                        self.model_path, self.params,
+                        self.opt_state if cfg.get(
+                            "checkpoint_save_optimizer", True) else None,
                         metadata={"epoch": epoch, "valid_loss": valid_loss,
                                   "lr": scheduler.lr, "config": cfg})
                 best_valid = valid_loss
