@@ -700,8 +700,11 @@ def run_t5_large(args, data_dir: str, train_if_missing: bool = False):
         # unrolls 24+24 layers, and the t5-large fwd+bwd program stalled
         # the tunnel's remote-compile service for 70+ min (r4 measured);
         # the scan HLO is depth-independent and numerics-identical.
-        # Serving (the measured side) keeps the fast row towers.
-        "t5_overrides": {"attention_impl": "xla"},
+        # remat: per-layer rematerialization — without it the B=32
+        # fwd+bwd wants 8.26 GB of HLO temps next to 9.9 GB of
+        # params+moments (XLA OOM report, r4). Serving (the measured
+        # side) keeps the fast row towers, no remat.
+        "t5_overrides": {"attention_impl": "xla", "remat": True},
         # drop AdamW moments from the checkpoint: serving never reads
         # them and their device->host fetch is ~6 GB per save through a
         # 10-25 MB/s tunnel
