@@ -69,10 +69,12 @@ _TRANSIENT_MARKERS = (
     # (docs/TPU_NOTES.md): UNAVAILABLE swings, dropped compile bodies,
     # broken pipes. Genuine code errors (TypeError/ValueError/OOM) and
     # the closure-capture HTTP 413 do NOT match — retrying those wastes
-    # the round's wall clock.
-    "remote_compile", "read body", "response body", "unavailable",
+    # the round's wall clock. "unavailable:" keeps the colon so the
+    # status-code prefix form matches but prose like "tokenizer
+    # unavailable" does not.
+    "remote_compile", "read body", "response body", "unavailable:",
     "deadline exceeded", "connection reset", "broken pipe",
-    "socket closed", "connection refused", "end of file",
+    "socket closed", "connection refused",
 )
 
 
@@ -441,6 +443,12 @@ def run_e2e_trained(args, data_dir: str, train_if_missing: bool = True,
     from multimodalpromptretrieval_tpu.serve import MPRServer
     from multimodalpromptretrieval_tpu.train.experiment import Experiment
 
+    # Free any PREVIOUS stage's Experiment before allocating this one:
+    # Experiment holds reference cycles (cached jitted closures capture
+    # self), so back-to-back t5-large stages would otherwise stack two
+    # multi-GB param generations in HBM until some future collection.
+    gc.collect()
+
     tiny = args.preset == "tiny"
     cfg, log_root, model_root = _bench_setup(args, data_dir, tiny, style)
     ver = getattr(args, "t5_version", "t5-small")
@@ -550,9 +558,12 @@ def run_e2e_int8(args, data_dir: str, style: str = "short"):
     agreement rate isolates the decode drift from the two int8 rounding
     steps. Uses the trained checkpoint when one is cached (the
     meaningful agreement measurement), random init otherwise."""
-    import os
+    import gc
 
     import numpy as np
+
+    gc.collect()  # reclaim the previous stage's Experiment cycles first
+    # (two resident t5-large param sets OOM the chip — run_e2e_trained)
 
     from multimodalpromptretrieval_tpu.serve import MPRServer
 
@@ -906,7 +917,7 @@ def run_all(args) -> None:
                         "open_trained_qa_per_sec",
                         "device_only_qa_per_sec"):
                 v = record.get(key)
-                if v:
+                if v is not None:  # 0.0 is a measurement, not a gap
                     record["value"] = v
                     record["vs_baseline"] = round(v / baseline, 4)
                     record["headline_fallback_from"] = key
@@ -1074,7 +1085,8 @@ def main():
         print(json.dumps({
             "metric": "slake_serve_qa_pairs_per_sec_t5_large_trained",
             "value": v, "unit": "QA/s",
-            "vs_baseline": round(v / baseline, 4) if v else None,
+            "vs_baseline": (round(v / baseline, 4) if v is not None
+                            else None),
             **fields}))
     elif args.mode == "e2e_int8":
         best, median, piped, match, trained = run_e2e_int8(

@@ -284,6 +284,23 @@ class MPRServer:
         _, idx = exp.retrieval_index.topk(q, k=exp.k)
         return k, idx
 
+    def _dispatch_all_retrieval(self, questions: Sequence[str], emb_dev,
+                                rowmap: np.ndarray) -> np.ndarray:
+        """Dispatch EVERY chunk's retrieval (text tower + device top-k)
+        and fetch the concatenated indices in ONE host round-trip —
+        through this environment's tunnel each fetch costs a fixed
+        ~26 ms regardless of payload (docs/TPU_NOTES.md), so per-chunk
+        fetches were measured to give back the overlap they bought.
+        Shared by the host-path dispatch and the length-sort pre-pass so
+        the chunk/fetch policy cannot drift between them."""
+        B = self.exp.batch_size
+        parts = [self._dispatch_chunk_retrieval(
+            questions[s:s + B], emb_dev, rowmap[s:s + B])
+            for s in range(0, len(questions), B)]
+        idx_all = (jnp.concatenate([idx[:kv] for kv, idx in parts])
+                   if len(parts) > 1 else parts[0][1][:parts[0][0]])
+        return np.asarray(idx_all)  # the single retrieval sync
+
     def _length_sort_order(self, questions: Sequence[str],
                            rowmap: np.ndarray, emb_dev) -> np.ndarray:
         """Stable row order by PREDICTED answer length for the fused
@@ -296,14 +313,7 @@ class MPRServer:
         in-graph retrieval, so answers stay token-exact — the pre-pass
         only chooses chunk membership."""
         exp = self.exp
-        B = exp.batch_size
-        n = len(questions)
-        parts = [self._dispatch_chunk_retrieval(
-            questions[s:s + B], emb_dev, rowmap[s:s + B])
-            for s in range(0, n, B)]
-        idx_all = (jnp.concatenate([idx[:kv] for kv, idx in parts])
-                   if len(parts) > 1 else parts[0][1][:parts[0][0]])
-        idx_np = np.asarray(idx_all)  # the pre-pass's single sync
+        idx_np = self._dispatch_all_retrieval(questions, emb_dev, rowmap)
         hints = exp.retrieval_index.format_prompts(
             idx_np, use_quantifier=exp.use_quantifier)
         key = np.asarray([len(h) for h in hints])
@@ -407,18 +417,8 @@ class MPRServer:
             step = self._predict
 
         if use_prefix and exp.retrieval_index is not None and starts:
-            # Dispatch EVERY chunk's retrieval (text tower + device
-            # top-k) up front and fetch the concatenated indices in ONE
-            # host round-trip — through this environment's tunnel each
-            # fetch costs a fixed ~26 ms regardless of payload
-            # (docs/TPU_NOTES.md), so per-chunk index fetches were
-            # measured to give back the overlap they bought.
-            parts = [self._dispatch_chunk_retrieval(
-                questions[s:s + B], emb_dev, rowmap[s:s + B])
-                for s in starts]
-            idx_all = (jnp.concatenate([idx[:kv] for kv, idx in parts])
-                       if len(parts) > 1 else parts[0][1][:parts[0][0]])
-            idx_np = np.asarray(idx_all)  # the single retrieval sync
+            idx_np = self._dispatch_all_retrieval(questions, emb_dev,
+                                                  rowmap)
 
         def chunk_hints(s: int):
             """Hints for the chunk at ``s``; the returned thunk defers

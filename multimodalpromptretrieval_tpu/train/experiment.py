@@ -332,8 +332,8 @@ class Experiment:
         width = n_model * n_pipe * n_seq
         if n_dev % width:
             raise ValueError(
-                f"parallelism: model*pipe = {width} does not divide the "
-                f"{n_dev} available devices")
+                f"parallelism: model*pipe*seq = {width} does not divide "
+                f"the {n_dev} available devices")
         bs = cfg["hyperparameters"]["batch_size"]
         explicit = int(par.get("data", 0))
         if explicit and bs % explicit:
@@ -348,8 +348,8 @@ class Experiment:
             n -= 1
         if n * width > n_dev:
             raise ValueError(
-                f"parallelism: data={n} * model*pipe={width} exceeds the "
-                f"{n_dev} available devices")
+                f"parallelism: data={n} * model*pipe*seq={width} exceeds "
+                f"the {n_dev} available devices")
         if n_pipe > 1:
             return ppipe.get_pipe_mesh(n_data=n, n_pipe=n_pipe)
         if n_seq > 1:

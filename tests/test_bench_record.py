@@ -41,7 +41,7 @@ def _stub_all(monkeypatch, **over):
         "run_device": lambda a: (500.0, {"device_serve_mfu": 0.31}),
         "run_train": lambda a, d: (300.0, {"train_step_mfu": 0.44}),
         "run_e2e_trained": lambda a, d, train_if_missing=True,
-        style="short", spec=0: (800.0, 790.0, 900.0),
+        style="short", spec=0, **kw: (800.0, 790.0, 900.0),
         "run_e2e_int8": lambda a, d, style="short": (850.0, 840.0, 950.0,
                                                      1.0, True),
     }
@@ -62,6 +62,7 @@ def test_full_stub_record_schema(monkeypatch, capsys, tmp_path):
     assert rec["open_e2e_qa_per_sec"] == 100.0
     assert rec["e2e_trained_earlystop_qa_per_sec"] == 800.0
     assert rec["open_trained_spec_decode_qa_per_sec"] == 800.0
+    assert rec["open_trained_length_sort_qa_per_sec"] == 800.0
     assert rec["e2e_int8_pipelined_qa_per_sec"] == 950.0
     assert rec["device_only_qa_per_sec"] == 500.0
     assert rec["device_serve_mfu"] == 0.31
@@ -180,6 +181,11 @@ def test_transient_classifier():
     # the closure-capture 413 is deterministic, not transient
     assert not bench._is_transient(RuntimeError(
         "HTTP 413 request body length limit exceeded"))
+    # prose containing 'unavailable' without the status-code colon form
+    # must not be retried (a library feature report, not a tunnel fault)
+    assert not bench._is_transient(RuntimeError(
+        "native tokenizer unavailable on this platform"))
+    assert bench._is_transient(RuntimeError("UNAVAILABLE: backend gone"))
 
 
 def test_no_int8_skips_int8_stages(monkeypatch, capsys, tmp_path):
