@@ -175,6 +175,14 @@ def test_rejects_combined_tp_sp(synth_root):
         Experiment(cfg, train_mode=True, quiet=True)
 
 
+def test_seq_misfit_names_seq_axis(synth_root):
+    """A seq width that doesn't divide the devices errors with a message
+    naming the seq axis (review fix: it used to say 'model*pipe')."""
+    cfg = _cfg(synth_root, parallelism={"seq": 3})
+    with pytest.raises(ValueError, match="model\\*pipe\\*seq = 3"):
+        Experiment(cfg, train_mode=True, quiet=True)
+
+
 def test_explicit_data_axis_refused_when_indivisible(synth_root):
     """An explicit parallelism 'data' request that doesn't divide the
     batch size is refused, never silently shrunk."""
