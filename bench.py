@@ -996,7 +996,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train-iters", type=int, default=30)
     p.add_argument("--train-epochs", type=int, default=8,
                    help="e2e_trained: epochs before measuring early-exit")
-    p.add_argument("--data-dir", default="/tmp/mpr_bench_data")
+    # persistent by default: /tmp has been wiped between sessions on this
+    # host (r2/r4 logs), and a wiped data dir silently nulls every
+    # trained-checkpoint field in the recorded round-end run
+    p.add_argument("--data-dir",
+                   default=os.path.expanduser("~/.cache/mpr_bench_data"))
     p.add_argument("--platform", default=None)
     return p
 
