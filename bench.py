@@ -22,8 +22,14 @@ Modes (default ``all`` — one JSON line, e2e as the headline):
              already on disk).
 ``t5_large`` — t5-large open-corpus serving (fp / spec_decode=4 / int8)
              at B=128; trains + caches the t5-large checkpoint on first
-             run, after which ``all`` includes the same three numbers as
-             ride-alongs.
+             run, after which ``all`` includes the ride-along numbers.
+``provision`` — cold-host rebuild (VERDICT r4 item 1): one command
+             trains every checkpoint the ``all`` ride-alongs are gated
+             on (t5-small short/open/long, t5-large open/long) and
+             warms the persistent compile cache for every measured
+             program. A cold ``all`` run now emits explicit
+             ``<stage>_skipped`` markers pointing here instead of
+             silently nulling the trained fields.
 
 Mode ``all`` is crash-proof (VERDICT r3 weak #1): every stage runs
 through a retry-on-transient-fault harness, failures land in an
@@ -139,15 +145,21 @@ def _peak_flops():
     return None
 
 
-def _mfu_fields(fn, fargs, sec_per_call: float, prefix: str) -> dict:
+def _mfu_fields(fn, fargs, sec_per_call: float, prefix: str,
+                extra_flops: float = 0.0) -> dict:
     """``{prefix}_tflops_per_sec`` and ``{prefix}_mfu`` from the compiled
     program's cost analysis at the measured per-call wall time.
 
-    Caveat (documented so the numbers read honestly): XLA's HLO cost
-    analysis counts a ``while`` body ONCE, so programs with a decode
-    loop (the serve step) report a LOWER BOUND on flops and MFU; the
-    train step has no while loop and is exact. ``lower().compile()``
-    hits the persistent compile cache, so this costs no device time."""
+    XLA's HLO cost analysis counts a ``while`` body ONCE, so a program
+    with a decode loop undercounts by (executed_steps - 1) bodies.
+    ``extra_flops`` adds those back (ops/flops.t5_decode_step_flops —
+    exact for the device bench, where early_stop=False makes the step
+    count static; VERDICT r4 item 3). When extra_flops > 0 the
+    body-counted-once number is also emitted as
+    ``{prefix}_mfu_lower_bound`` for round-over-round continuity with
+    the r3/r4 records. The train step has no while loop, so its fields
+    are exact with extra_flops=0. ``lower().compile()`` hits the
+    persistent compile cache, so this costs no device time."""
     peak = _peak_flops()
     if peak is None:
         return {}
@@ -161,10 +173,14 @@ def _mfu_fields(fn, fargs, sec_per_call: float, prefix: str) -> dict:
         return {}
     if flops <= 0.0 or sec_per_call <= 0.0:
         return {}
-    return {
-        f"{prefix}_tflops_per_sec": round(flops / sec_per_call / 1e12, 2),
-        f"{prefix}_mfu": round(flops / (sec_per_call * peak), 4),
-    }
+    out = {}
+    if extra_flops > 0.0:
+        out[f"{prefix}_mfu_lower_bound"] = round(
+            flops / (sec_per_call * peak), 4)
+        flops += extra_flops
+    out[f"{prefix}_tflops_per_sec"] = round(flops / sec_per_call / 1e12, 2)
+    out[f"{prefix}_mfu"] = round(flops / (sec_per_call * peak), 4)
+    return out
 
 
 def build(preset: str, dtype_name: str, batch: int, seq_len: int,
@@ -291,20 +307,33 @@ def build(preset: str, dtype_name: str, batch: int, seq_len: int,
     fn = jax.jit(serve)
     args = (params, images, qa_to_image, q_ids, q_len, clip_text_ids,
             index, index_sq, aid, hint_ids, hint_len)
-    return fn, args
+    # decode-loop metadata for the exact-MFU correction (ops/flops):
+    # early_stop=False -> the while body runs exactly decode_len times,
+    # attending over an encoder of (visual prefix + spliced prompt) rows
+    meta = {"t5_cfg": t5, "decode_len": decode_len,
+            "enc_len": clip.num_image_tokens + W}
+    return fn, args, meta
 
 
 def run_device(args):
     """Device-only QA/s (one fused jit, no host round-trips).
 
     Returns ``(qa_per_sec, extras)`` where extras holds the
-    ``device_serve_*`` MFU fields (:func:`_mfu_fields` — a lower bound
-    here: the decode while-loop body is counted once by cost analysis)."""
+    ``device_serve_*`` MFU fields — EXACT as of r5: the decode
+    while-loop body (counted once by cost analysis) is multiplied by
+    the statically-known executed step count (early_stop=False runs
+    exactly decode_len bodies) via ops/flops.t5_decode_step_flops;
+    the body-once number rides along as
+    ``device_serve_mfu_lower_bound`` (VERDICT r4 item 3)."""
     import numpy as np
 
-    fn, fargs = build(args.preset, args.dtype, args.batch, args.seq_len,
-                      args.corpus, args.k, args.decode_len,
-                      args.qa_per_image)
+    from multimodalpromptretrieval_tpu.ops.flops import (
+        t5_decode_step_flops,
+    )
+
+    fn, fargs, meta = build(args.preset, args.dtype, args.batch,
+                            args.seq_len, args.corpus, args.k,
+                            args.decode_len, args.qa_per_image)
     # warmup/compile — materialize on host: on the axon (tunneled TPU)
     # platform block_until_ready returns before execution completes, so a
     # host fetch is the only reliable sync point
@@ -319,7 +348,10 @@ def run_device(args):
         pending = nxt
     np.asarray(pending[0])
     dt = time.perf_counter() - t0
-    extras = _mfu_fields(fn, fargs, dt / args.iters, "device_serve")
+    body = t5_decode_step_flops(meta["t5_cfg"], args.batch,
+                                meta["enc_len"], meta["decode_len"])
+    extras = _mfu_fields(fn, fargs, dt / args.iters, "device_serve",
+                         extra_flops=(meta["decode_len"] - 1) * body)
     return args.batch * args.iters / dt, extras
 
 
@@ -333,7 +365,13 @@ def _bench_setup(args, data_dir: str, tiny: bool, style: str = "short"):
     (data/synthetic._open_qa): answers of 2-8 T5 tokens and long questions,
     so the trained early-exit decode actually pays the serial decode cost
     real SLAKE open answers incur (the short corpus early-exits after ~3
-    steps and flatters the number — VERDICT r2 weak #4)."""
+    steps and flatters the number — VERDICT r2 weak #4).
+
+    ``style="long"`` uses the full-sentence ~13-18-token-answer corpus
+    (data/synthetic._long_qa) — the speculative-decode payoff regime
+    (VERDICT r4 item 2): answers run near the full max_new_tokens=20
+    budget, so accepted hint drafts can cover many serial steps.
+    max_target_length is raised to 24 so training never truncates."""
     from multimodalpromptretrieval_tpu.data.synthetic import (
         generate_synthetic_slake,
         synthetic_config,
@@ -342,7 +380,8 @@ def _bench_setup(args, data_dir: str, tiny: bool, style: str = "short"):
     size = 64 if tiny else 224
     n_train = 16 if tiny else 410       # -> 1,230 retrieval corpus entries
     n_test = 8 if tiny else args.e2e_images  # 512 imgs -> 1,536 test QAs
-    sub = ("tiny" if tiny else "full") + ("_open" if style == "open" else "")
+    sub = ("tiny" if tiny else "full") + (
+        "" if style == "short" else f"_{style}")
     data_dir = os.path.join(data_dir, sub)
     marker = os.path.join(data_dir, "SLAKE", "test.json")
     if not os.path.exists(marker):
@@ -352,6 +391,8 @@ def _bench_setup(args, data_dir: str, tiny: bool, style: str = "short"):
     cfg = synthetic_config(data_dir, batch_size=args.batch if not tiny
                            else 8, epochs=1, retrieval=True, k=args.k,
                            image_size=size)
+    if style == "long":
+        cfg["max_target_length"] = 24
     if not tiny:  # full t5-small + ViT-B/32 (the north-star config)
         # row paths everywhere: re-measured after the fused-norm/kernel
         # default changes, row now wins the text tower (13.9 vs 15.5 ms)
@@ -670,6 +711,27 @@ def _t5_large_args(args):
     return la
 
 
+def _t5_large_trainer_overrides(args) -> dict:
+    """Config overrides for TRAINING a t5-large checkpoint on one chip
+    (shared by ``--mode t5_large`` and ``--mode provision``)."""
+    return {
+        # scan-over-layers for the TRAINER only: the row path statically
+        # unrolls 24+24 layers, and the t5-large fwd+bwd program stalled
+        # the tunnel's remote-compile service for 70+ min (r4 measured);
+        # the scan HLO is depth-independent and numerics-identical.
+        # remat: per-layer rematerialization — without it the B=32
+        # fwd+bwd wants 8.26 GB of HLO temps next to 9.9 GB of
+        # params+moments (XLA OOM report, r4). Serving (the measured
+        # side) keeps the fast row towers, no remat.
+        "t5_overrides": {"attention_impl": "xla", "remat": True},
+        # drop AdamW moments from the checkpoint: serving never reads
+        # them and their device->host fetch is ~6 GB per save through a
+        # 10-25 MB/s tunnel
+        "checkpoint_save_optimizer": 0,
+        "epochs": args.t5_large_epochs,
+    }
+
+
 def trained_ckpt_path(args, data_dir: str, style: str, ver: str) -> str:
     """The e2e_trained checkpoint path WITHOUT instantiating an
     Experiment (a t5-large init would allocate GBs of params just to
@@ -681,7 +743,7 @@ def trained_ckpt_path(args, data_dir: str, style: str, ver: str) -> str:
     from multimodalpromptretrieval_tpu.utils import get_model_prefix
 
     sub = (("tiny" if args.preset == "tiny" else "full")
-           + ("_open" if style == "open" else ""))
+           + ("" if style == "short" else f"_{style}"))
     root = os.path.join(data_dir, sub)
     if ver != "t5-small":
         root = os.path.join(root, ver)
@@ -702,26 +764,9 @@ def run_t5_large(args, data_dir: str, train_if_missing: bool = False):
     style = "open"
     if not train_if_missing and not os.path.exists(
             trained_ckpt_path(la, data_dir, style, "t5-large")):
-        return {"t5_large_skipped":
-                "no cached t5-large checkpoint; run "
-                "`python bench.py --mode t5_large` once"}
+        return {"t5_large_skipped": _PROVISION_HINT}
     fields = {}
-    trainer_overrides = {
-        # scan-over-layers for the TRAINER only: the row path statically
-        # unrolls 24+24 layers, and the t5-large fwd+bwd program stalled
-        # the tunnel's remote-compile service for 70+ min (r4 measured);
-        # the scan HLO is depth-independent and numerics-identical.
-        # remat: per-layer rematerialization — without it the B=32
-        # fwd+bwd wants 8.26 GB of HLO temps next to 9.9 GB of
-        # params+moments (XLA OOM report, r4). Serving (the measured
-        # side) keeps the fast row towers, no remat.
-        "t5_overrides": {"attention_impl": "xla", "remat": True},
-        # drop AdamW moments from the checkpoint: serving never reads
-        # them and their device->host fetch is ~6 GB per save through a
-        # 10-25 MB/s tunnel
-        "checkpoint_save_optimizer": 0,
-        "epochs": args.t5_large_epochs,
-    }
+    trainer_overrides = _t5_large_trainer_overrides(args)
     out = run_e2e_trained(la, data_dir, train_if_missing=train_if_missing,
                           style=style, train_batch=args.t5_large_train_batch,
                           trainer_overrides=trainer_overrides)
@@ -747,20 +792,32 @@ _ALL_FIELDS = (
     "e2e_trained_earlystop_qa_per_sec", "e2e_trained_median_of_windows",
     "e2e_trained_pipelined_qa_per_sec",
     "e2e_int8_qa_per_sec", "e2e_int8_pipelined_qa_per_sec",
-    "int8_answer_match_vs_fp",
+    "int8_answer_match_vs_fp", "int8_used_trained_checkpoint",
     "open_e2e_qa_per_sec", "open_e2e_pipelined_qa_per_sec",
     "open_trained_qa_per_sec", "open_trained_pipelined_qa_per_sec",
     "open_trained_length_sort_qa_per_sec",
     "open_trained_length_sort_pipelined_qa_per_sec",
-    "open_trained_spec_decode_qa_per_sec",
-    "open_trained_spec_decode_pipelined_qa_per_sec",
+    "long_trained_qa_per_sec", "long_trained_pipelined_qa_per_sec",
+    "long_trained_spec_decode_qa_per_sec",
+    "long_trained_spec_decode_pipelined_qa_per_sec",
     "open_int8_pipelined_qa_per_sec", "open_int8_answer_match_vs_fp",
+    "open_int8_used_trained_checkpoint",
     "t5_large_trained_qa_per_sec", "t5_large_trained_pipelined_qa_per_sec",
-    "t5_large_spec4_qa_per_sec", "t5_large_spec4_pipelined_qa_per_sec",
+    "t5_large_long_trained_qa_per_sec",
+    "t5_large_long_trained_pipelined_qa_per_sec",
+    "t5_large_long_spec4_qa_per_sec",
+    "t5_large_long_spec4_pipelined_qa_per_sec",
     "t5_large_int8_pipelined_qa_per_sec",
     "t5_large_int8_answer_match_vs_fp",
     "device_only_qa_per_sec", "train_ex_per_sec",
 )
+
+# Every checkpoint-gated stage emits this marker instead of silently
+# returning nothing when its cached checkpoint is missing (VERDICT r4
+# weak #1: this host wipes ~/.cache between sessions, and a cold-host
+# record used to lose its trained/t5-large fields with no trace).
+_PROVISION_HINT = ("no cached checkpoint; run "
+                   "`python bench.py --mode provision` once")
 
 BASELINE_QA_PER_SEC = 2000.0  # the driver's north-star target (BASELINE.md)
 
@@ -806,8 +863,8 @@ def run_all(args) -> None:
 
     def trained_fields():
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False)
-        if out is None:  # no cached checkpoint — not an error
-            return {}
+        if out is None:  # cold host: self-diagnosing marker, not a null
+            return {"trained_skipped": _PROVISION_HINT}
         return {"e2e_trained_earlystop_qa_per_sec": round(out[0], 2),
                 "e2e_trained_median_of_windows": round(out[1], 2),
                 "e2e_trained_pipelined_qa_per_sec": round(out[2], 2)}
@@ -816,7 +873,7 @@ def run_all(args) -> None:
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
                               style="open")
         if out is None:
-            return {}
+            return {"open_trained_skipped": _PROVISION_HINT}
         return {"open_trained_qa_per_sec": round(out[0], 2),
                 "open_trained_pipelined_qa_per_sec": round(out[2], 2)}
 
@@ -828,55 +885,89 @@ def run_all(args) -> None:
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
                               style="open", length_sort=True)
         if out is None:
-            return {}
+            return {"open_trained_lsort_skipped": _PROVISION_HINT}
         return {"open_trained_length_sort_qa_per_sec": round(out[0], 2),
                 "open_trained_length_sort_pipelined_qa_per_sec":
                     round(out[2], 2)}
 
-    def open_trained_spec_fields():
-        # the documented t5-small spec-decode NEGATIVE, deliberately
-        # recorded (docs/TPU_NOTES.md r3: a loss at this depth)
+    # Speculative decode's recorded verdict lives in the LONG-answer
+    # corpus stages below — its claimed payoff regime (VERDICT r4 item
+    # 2). The r3/r4 short/open-corpus spec stages were settled recorded
+    # NEGATIVES (open 4,061 vs 5,589 QA/s; t5-large open 496 vs 921 —
+    # BENCH_r04.json) and are no longer re-measured every round; the
+    # feature stays opt-in (--spec-decode) and fully tested.
+
+    def long_trained_fields():
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
-                              style="open", spec=4)
+                              style="long")
         if out is None:
-            return {}
-        return {"open_trained_spec_decode_qa_per_sec": round(out[0], 2),
-                "open_trained_spec_decode_pipelined_qa_per_sec":
+            return {"long_trained_skipped": _PROVISION_HINT}
+        return {"long_trained_qa_per_sec": round(out[0], 2),
+                "long_trained_pipelined_qa_per_sec": round(out[2], 2)}
+
+    def long_trained_spec_fields():
+        out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
+                              style="long", spec=4)
+        if out is None:
+            return {"long_trained_spec_skipped": _PROVISION_HINT}
+        return {"long_trained_spec_decode_qa_per_sec": round(out[0], 2),
+                "long_trained_spec_decode_pipelined_qa_per_sec":
                     round(out[2], 2)}
 
     def int8_fields():
         i8 = run_e2e_int8(args, args.data_dir)
         return {"e2e_int8_qa_per_sec": round(i8[0], 2),
                 "e2e_int8_pipelined_qa_per_sec": round(i8[2], 2),
-                "int8_answer_match_vs_fp": round(i8[3], 4)}
+                "int8_answer_match_vs_fp": round(i8[3], 4),
+                "int8_used_trained_checkpoint": i8[4]}
 
     def open_int8_fields():
         i8 = run_e2e_int8(args, args.data_dir, style="open")
         return {"open_int8_pipelined_qa_per_sec": round(i8[2], 2),
-                "open_int8_answer_match_vs_fp": round(i8[3], 4)}
+                "open_int8_answer_match_vs_fp": round(i8[3], 4),
+                "open_int8_used_trained_checkpoint": i8[4]}
 
     def t5l_fp_fields():
         out = run_e2e_trained(_t5_large_args(args), args.data_dir,
                               train_if_missing=False, style="open")
         if out is None:
-            return {}
+            return {"t5_large_skipped": _PROVISION_HINT}
         return {"t5_large_trained_qa_per_sec": round(out[0], 2),
                 "t5_large_trained_pipelined_qa_per_sec": round(out[2], 2)}
 
-    def t5l_spec_fields():
+    def t5l_long_fp_fields():
         out = run_e2e_trained(_t5_large_args(args), args.data_dir,
-                              train_if_missing=False, style="open",
+                              train_if_missing=False, style="long")
+        if out is None:
+            return {"t5_large_long_skipped": _PROVISION_HINT}
+        return {"t5_large_long_trained_qa_per_sec": round(out[0], 2),
+                "t5_large_long_trained_pipelined_qa_per_sec":
+                    round(out[2], 2)}
+
+    def t5l_long_spec_fields():
+        out = run_e2e_trained(_t5_large_args(args), args.data_dir,
+                              train_if_missing=False, style="long",
                               spec=T5_LARGE_SPEC)
         if out is None:
-            return {}
-        return {"t5_large_spec4_qa_per_sec": round(out[0], 2),
-                "t5_large_spec4_pipelined_qa_per_sec": round(out[2], 2)}
+            return {"t5_large_long_spec_skipped": _PROVISION_HINT}
+        return {"t5_large_long_spec4_qa_per_sec": round(out[0], 2),
+                "t5_large_long_spec4_pipelined_qa_per_sec":
+                    round(out[2], 2)}
 
     def t5l_int8_fields():
         i8 = run_e2e_int8(_t5_large_args(args), args.data_dir,
                           style="open")
         return {"t5_large_int8_pipelined_qa_per_sec": round(i8[2], 2),
                 "t5_large_int8_answer_match_vs_fp": round(i8[3], 4)}
+
+    def _have_ckpt(style: str, ver: str) -> bool:
+        try:
+            base = _t5_large_args(args) if ver == "t5-large" else args
+            return os.path.exists(trained_ckpt_path(
+                base, args.data_dir, style, ver))
+        except Exception:
+            traceback.print_exc()
+            return False
 
     try:
         _run_stage("e2e", e2e_fields, record, errors)
@@ -887,27 +978,26 @@ def run_all(args) -> None:
         _run_stage("open_trained", open_trained_fields, record, errors)
         _run_stage("open_trained_lsort", open_trained_lsort_fields,
                    record, errors)
-        _run_stage("open_trained_spec", open_trained_spec_fields, record,
+        _run_stage("long_trained", long_trained_fields, record, errors)
+        _run_stage("long_trained_spec", long_trained_spec_fields, record,
                    errors)
         if not args.no_int8:
             _run_stage("int8", int8_fields, record, errors)
             _run_stage("open_int8", open_int8_fields, record, errors)
-        try:
-            have_large = os.path.exists(trained_ckpt_path(
-                _t5_large_args(args), args.data_dir, "open", "t5-large"))
-        except Exception:
-            traceback.print_exc()
-            have_large = False
-        if have_large:
+        if _have_ckpt("open", "t5-large"):
             _run_stage("t5_large_fp", t5l_fp_fields, record, errors)
-            _run_stage("t5_large_spec", t5l_spec_fields, record, errors)
             if not args.no_int8:
                 _run_stage("t5_large_int8", t5l_int8_fields, record,
                            errors)
         else:
-            record["t5_large_skipped"] = (
-                "no cached t5-large checkpoint; run "
-                "`python bench.py --mode t5_large` once")
+            record["t5_large_skipped"] = _PROVISION_HINT
+        if _have_ckpt("long", "t5-large"):
+            _run_stage("t5_large_long_fp", t5l_long_fp_fields, record,
+                       errors)
+            _run_stage("t5_large_long_spec", t5l_long_spec_fields,
+                       record, errors)
+        else:
+            record["t5_large_long_skipped"] = _PROVISION_HINT
     finally:
         if record.get("value") is None:
             # the headline stage itself died after retries: promote the
@@ -927,11 +1017,85 @@ def run_all(args) -> None:
         print(json.dumps(record), flush=True)
 
 
+def run_provision(args) -> None:
+    """``--mode provision``: one command rebuilds EVERYTHING a recorded
+    ``--mode all`` run needs on a cold host (VERDICT r4 item 1).
+
+    This host wipes ~/.cache (and every non-repo path) between sessions,
+    and ``--mode all`` deliberately never trains — so without this, a
+    cold round-end driver run silently nulls every trained/t5-large
+    field. Provision builds, in order: the synthetic corpora, every
+    trained checkpoint the ride-along stages are gated on (t5-small
+    short/open/long; t5-large open/long with the single-chip trainer
+    overrides), then runs a minimal-iteration ``--mode all`` pass so
+    every measured program lands in the persistent compile cache
+    (.jax_cache). Each step runs through the transient-fault retry
+    harness; the summary JSON line reports what was provisioned and any
+    terminal errors. Budget ~40-60 min cold, seconds when warm.
+    """
+    record = {"metric": "bench_provision", "value": None, "unit": "stages",
+              "vs_baseline": None}
+    done: dict = {}
+    errors: dict = {}
+
+    def ckpt(style: str, large: bool):
+        def fn():
+            if large:
+                out = run_e2e_trained(
+                    _t5_large_args(args), args.data_dir,
+                    train_if_missing=True, style=style,
+                    train_batch=args.t5_large_train_batch,
+                    trainer_overrides=_t5_large_trainer_overrides(args))
+            else:
+                out = run_e2e_trained(args, args.data_dir,
+                                      train_if_missing=True, style=style)
+            name = "ckpt_" + ("t5_large" if large else "t5_small") \
+                + "_" + style
+            return {name: "ok" if out is not None else "missing"}
+        return fn
+
+    def warm():
+        # run the real stage loop at minimal iteration counts so every
+        # program ``--mode all`` measures is compiled into the
+        # persistent cache; the warm-run record goes to stderr (the
+        # driver contract is ONE stdout JSON line per invocation)
+        import contextlib
+        import io
+
+        wa = copy.copy(args)
+        wa.iters, wa.train_iters = 2, 2
+        wa.e2e_iters, wa.e2e_windows = 1, 1
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            run_all(wa)
+        print("# provision warm-run record: " + buf.getvalue().strip(),
+              file=sys.stderr)
+        return {"warmed_all_programs": True}
+
+    try:
+        _run_stage("ckpt_t5_small_short", ckpt("short", False), done,
+                   errors)
+        _run_stage("ckpt_t5_small_open", ckpt("open", False), done, errors)
+        _run_stage("ckpt_t5_small_long", ckpt("long", False), done, errors)
+        if args.preset != "tiny":  # tiny = CPU smoke; no t5-large dims
+            _run_stage("ckpt_t5_large_open", ckpt("open", True), done,
+                       errors)
+            _run_stage("ckpt_t5_large_long", ckpt("long", True), done,
+                       errors)
+        _run_stage("warm_all", warm, done, errors)
+    finally:
+        record["provisioned"] = done
+        record["value"] = sum(v == "ok" or v is True for v in done.values())
+        if errors:
+            record["errors"] = errors
+        print(json.dumps(record), flush=True)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="all",
                    choices=["all", "e2e", "e2e_trained", "e2e_int8",
-                            "device", "train", "t5_large"])
+                            "device", "train", "t5_large", "provision"])
     p.add_argument("--t5-large-batch", type=int, default=128,
                    help="t5-large stages: serve batch (128 = the batch "
                         "where the spec4 decode win was measured; the "
@@ -968,11 +1132,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "size (0 = lockstep greedy; outputs identical "
                         "either way — models/t5.t5_spec_greedy_decode)")
     p.add_argument("--corpus-style", default="short",
-                   choices=["short", "open"],
+                   choices=["short", "open", "long"],
                    help="e2e/e2e_trained/e2e_int8 corpus: 'open' uses "
                         "multi-token answers (2-8 T5 tokens) + long "
                         "questions so trained early-exit decode pays the "
-                        "real serial cost; mode 'all' measures both")
+                        "real serial cost; 'long' uses full-sentence "
+                        "~13-18-token answers (the spec-decode payoff "
+                        "regime); mode 'all' measures all of them")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--seq-len", type=int, default=32)
@@ -1092,6 +1258,8 @@ def main():
             "vs_baseline": (round(v / baseline, 4) if v is not None
                             else None),
             **fields}))
+    elif args.mode == "provision":
+        run_provision(args)
     elif args.mode == "e2e_int8":
         best, median, piped, match, trained = run_e2e_int8(
             args, args.data_dir, style=args.corpus_style)

@@ -61,6 +61,45 @@ def _open_qa(shape: str, color_name: str, count: int,
     ]
 
 
+def _long_qa(shape: str, color_name: str, count: int,
+             rng: random.Random) -> List[tuple]:
+    """Long-answer QA pairs (~13-18 T5 tokens per answer).
+
+    The speculative-decode regime probe (VERDICT r4 item 2): hint-draft
+    speculation pays only when accepted drafts cover many serial decode
+    steps, i.e. when answers run near the full ``max_new_tokens=20``
+    budget. The "open" corpus (2-8 token answers) recorded a spec loss;
+    these answers are full sentences deterministically derived from the
+    image content, so a trained model reproduces them, the retrieved
+    majority hint usually equals the target, and the draft acceptance
+    rate is high — the claimed payoff regime, now measurable.
+    ``synthetic_config``/bench raise ``max_target_length`` for this style
+    so training never truncates the targets.
+    """
+    plural = "s" if count > 1 else ""
+    probe = rng.choice(_SHAPES)
+    n_word = _COUNT_WORDS[count]
+    return [
+        ("provide a full description of the main findings in this image, "
+         "covering how many there are, their color and their shape",
+         f"the scan demonstrates {n_word} well defined {color_name} "
+         f"{shape}{plural} lying on a plain light background",
+         "Shape", "open"),
+        ("summarize the appearance, color and texture of the finding and "
+         "state whether the background is clear",
+         f"a uniformly {color_name} {shape} shaped finding is seen and "
+         "the surrounding background is clear",
+         "Color", "open"),
+        (f"is there a {probe} present in this image, and how would you "
+         "describe the overall picture",
+         (f"yes, a {probe} is present together with {n_word} "
+          f"{color_name} finding{plural} overall") if probe == shape else
+         (f"no {probe} is present, the image only contains {n_word} "
+          f"{color_name} {shape}{plural}"),
+         "Presence", "closed"),
+    ]
+
+
 def _draw(shape: str, color: Tuple[int, int, int], count: int,
           size: int, rng: random.Random) -> np.ndarray:
     img = np.full((size, size, 3), 245, np.uint8)
@@ -92,6 +131,9 @@ def generate_synthetic_slake(
 
     ``answer_style="open"`` swaps in long questions with multi-token
     answers (see :func:`_open_qa`) — the de-skewed serving-bench corpus.
+    ``answer_style="long"`` uses full-sentence ~13-18-token answers
+    (:func:`_long_qa`) — the speculative-decode payoff-regime corpus;
+    raise ``max_target_length`` to >=24 so training never truncates.
     """
     rng = random.Random(seed)
     os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
@@ -113,6 +155,8 @@ def generate_synthetic_slake(
             Image.fromarray(arr).save(os.path.join(root, "imgs", name))
             if answer_style == "open":
                 qa = _open_qa(shape, color_name, count, rng)
+            elif answer_style == "long":
+                qa = _long_qa(shape, color_name, count, rng)
             else:
                 qa = [
                     ("what shape is shown in the image?", shape,

@@ -48,7 +48,7 @@ from multimodalpromptretrieval_tpu.ops.layers import (
     gelu_new,
     rms_norm,
 )
-from multimodalpromptretrieval_tpu.ops.quant import kconcat, kslice
+from multimodalpromptretrieval_tpu.ops.quant import kconcat, kout_dim, kslice
 
 Params = Dict[str, Any]
 
@@ -260,10 +260,26 @@ def compute_position_bias(
 # ---------------------------------------------------------------------------
 
 
-def _attention_block(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask, causal):
+def _attention_block(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask,
+                     causal, tp_axis=None):
+    """One attention sub-block.
+
+    ``tp_axis``: Megatron-style tensor parallelism inside ``shard_map``
+    (parallel/pipeline.py TP×PP composition): the q/k/v kernels arrive
+    column-sharded over that mesh axis (this rank holds H_local =
+    kernel_cols / d_kv heads — derived from the param shape, so the same
+    code serves the unsharded case), the o kernel row-sharded, and the
+    partial o-projection outputs are psum-merged so the block's output
+    is replicated across the axis. ``bias`` must already be the local
+    heads' rows (shard the rel_bias table's head dim over the axis).
+    Under pjit (tp_axis=None) GSPMD derives the same collectives from
+    the param shardings instead (parallel/mesh.param_shardings)."""
     B, Lq, _ = x_q.shape
     Lk = x_kv.shape[1]
-    H, Dk = cfg.num_heads, cfg.d_kv
+    Dk = cfg.d_kv
+    # local head count (== cfg.num_heads unsharded); kout_dim handles
+    # int8-quantized kernel dicts (ops/quant)
+    H = kout_dim(p["q"]) // Dk
 
     def split_heads(y, L):
         return jnp.transpose(y.reshape(B, L, H, Dk), (0, 2, 1, 3))
@@ -276,25 +292,42 @@ def _attention_block(p: Params, cfg: T5Config, x_q, x_kv, *, bias, kv_mask, caus
         scale=1.0, impl=cfg.attention_impl,
     )
     o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, Lq, H * Dk)
-    return dense(o, p["o"])
+    o = dense(o, p["o"])
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    return o
 
 
-def _ff_block(p: Params, cfg: T5Config, x, rate: float = 0.0, rng=None):
+def _ff_block(p: Params, cfg: T5Config, x, rate: float = 0.0, rng=None,
+              tp_axis=None):
+    """FF sub-block; with ``tp_axis`` the wi kernel(s) are column-sharded
+    and wo row-sharded over that shard_map axis, partials psum-merged.
+    The activation dropout then acts on the d_ff shard — each rank draws
+    from the same (replicated) key, which is still a valid independent
+    mask per hidden unit (dropout bits are not a parity surface)."""
     if cfg.feed_forward_proj == "gated-gelu":
         h = gelu_new(dense(x, p["wi_0"])) * dense(x, p["wi_1"])
     else:
         h = jax.nn.relu(dense(x, p["wi"]))
     h = _dropout(h, rate, rng)  # HF T5DenseActDense: dropout after act
-    return dense(h, p["wo"])
+    h = dense(h, p["wo"])
+    if tp_axis is not None:
+        h = jax.lax.psum(h, tp_axis)
+    return h
 
 
-def encoder_block(p: Params, cfg: T5Config, x, *, bias, kv_mask, rng=None):
+def encoder_block(p: Params, cfg: T5Config, x, *, bias, kv_mask, rng=None,
+                  tp_axis=None):
     """One encoder block (pre-LN self-attention + FF with residuals).
 
     The single source of truth for the encoder layer math: the scan in
     :func:`t5_encode` and the pipeline-parallel stages
     (parallel/pipeline.py) both call this. Returns ``(x, rng)`` with the
     rng advanced past this layer's dropout draws (HF stream order).
+    ``tp_axis`` tensor-parallelizes the sub-blocks inside shard_map (see
+    :func:`_attention_block`); the residual stream stays replicated
+    across that axis, and the post-sub-block dropouts draw replicated
+    keys so every rank applies the identical mask.
     """
     rate = cfg.dropout_rate
     r1 = r2 = r3 = None
@@ -302,21 +335,24 @@ def encoder_block(p: Params, cfg: T5Config, x, *, bias, kv_mask, rng=None):
         rng, r1, r2, r3 = jax.random.split(rng, 4)
     h = rms_norm(x, p["attn_ln"], cfg.layer_norm_epsilon)
     x = x + _dropout(_attention_block(p["attn"], cfg, h, h, bias=bias,
-                                      kv_mask=kv_mask, causal=False),
+                                      kv_mask=kv_mask, causal=False,
+                                      tp_axis=tp_axis),
                      rate, r1)
     h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2),
+    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r2,
+                               tp_axis=tp_axis),
                      rate, r3)
     return x, rng
 
 
 def decoder_block(p: Params, cfg: T5Config, x, *, encoder_hidden, bias,
-                  enc_kv_mask, rng=None):
+                  enc_kv_mask, rng=None, tp_axis=None):
     """One decoder block (causal self-attn + cross-attn + FF).
 
     Shared by the :func:`t5_decode_train` scan/unrolled paths and the
     pipeline-parallel stages. Decoder self-attention is causal with no
     padding mask (HF default — see t5_decode_train). Returns ``(x, rng)``.
+    ``tp_axis``: see :func:`encoder_block`.
     """
     rate = cfg.dropout_rate
     r1 = r2 = r3 = r4 = None
@@ -325,14 +361,17 @@ def decoder_block(p: Params, cfg: T5Config, x, *, encoder_hidden, bias,
     h = rms_norm(x, p["self_ln"], cfg.layer_norm_epsilon)
     x = x + _dropout(_attention_block(p["self_attn"], cfg, h, h,
                                       bias=bias, kv_mask=None,
-                                      causal=True), rate, r1)
+                                      causal=True, tp_axis=tp_axis),
+                     rate, r1)
     h = rms_norm(x, p["cross_ln"], cfg.layer_norm_epsilon)
     x = x + _dropout(_attention_block(p["cross_attn"], cfg, h,
                                       encoder_hidden, bias=None,
                                       kv_mask=enc_kv_mask,
-                                      causal=False), rate, r2)
+                                      causal=False, tp_axis=tp_axis),
+                     rate, r2)
     h = rms_norm(x, p["ff_ln"], cfg.layer_norm_epsilon)
-    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r3),
+    x = x + _dropout(_ff_block(p["ff"], cfg, h, rate=rate, rng=r3,
+                               tp_axis=tp_axis),
                      rate, r4)
     return x, rng
 

@@ -90,6 +90,14 @@ def dense_q8(x: jnp.ndarray, kernel: Dict[str, jnp.ndarray],
     return y
 
 
+def kout_dim(kernel) -> int:
+    """Output (last-axis) width of a raw or quantized kernel — e.g. the
+    local head count of a possibly-TP-sharded q/k/v kernel is
+    ``kout_dim(p["q"]) // d_kv`` (models/t5._attention_block)."""
+    return (kernel[Q8].shape[-1] if is_quantized(kernel)
+            else kernel.shape[-1])
+
+
 def kslice(kernel, i: int):
     """Layer-index a (possibly layer-stacked, possibly quantized) kernel:
     raw (L, in, out)[i] or {"q8": (L, in, out), "q_scale": (L, 1, out)}

@@ -61,3 +61,28 @@ def test_bf16_predict_returns_ids():
     del b["labels"]
     out = mprgen.predict_fn(params, cfg, b, max_new_tokens=4)
     assert out.dtype == jnp.int32 and out.shape == (4, 5)
+
+
+def test_bf16_adamw_moments_track_fp32_trajectory():
+    """`adamw_moments_dtype` (the r5 optimizer-footprint lever): moments
+    stored bf16, math in fp32 — the short-horizon trajectory must stay
+    close to the fp32-moment run and the stored dtype must persist
+    across steps."""
+    cfg = _cfg("float32")
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    step = pmesh.make_train_step(cfg, donate=False)
+
+    p32, o32 = params, adamw_init(params)
+    p16, o16 = params, adamw_init(params, moments_dtype="bfloat16")
+    assert o16["mu"]["t5"]["shared"].dtype == jnp.bfloat16
+    for i in range(4):
+        key = jax.random.PRNGKey(i)
+        p32, o32, l32 = step(p32, o32, batch, jnp.float32(1e-3), key)
+        p16, o16, l16 = step(p16, o16, batch, jnp.float32(1e-3), key)
+    assert o16["nu"]["t5"]["shared"].dtype == jnp.bfloat16
+    # same masks per step -> only moment-rounding drift separates them
+    np.testing.assert_allclose(float(l32), float(l16), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(p32["t5"]["shared"]),
+                               np.asarray(p16["t5"]["shared"]),
+                               rtol=5e-2, atol=5e-4)

