@@ -64,6 +64,10 @@ from multimodalpromptretrieval_tpu.ops.layers import (
     dropout as _dropout,
     rms_norm,
 )
+from multimodalpromptretrieval_tpu.parallel.mesh import (
+    _COL_SUFFIXES,
+    _ROW_SUFFIXES,
+)
 from multimodalpromptretrieval_tpu.train.optim import adamw_update
 
 Params = Dict[str, Any]
@@ -107,11 +111,6 @@ def _pp_tp_spec(path, leaf, n_model: int) -> P:
     compute_position_bias yields each rank's local-head bias rows."""
     if _is_block_path(path):
         if n_model > 1 and getattr(leaf, "ndim", 0) == 3:
-            from multimodalpromptretrieval_tpu.parallel.mesh import (
-                _COL_SUFFIXES,
-                _ROW_SUFFIXES,
-            )
-
             keys = tuple(getattr(k, "key", None) for k in path)
             tail = keys[-2:]
             if tail in _COL_SUFFIXES:
