@@ -1017,6 +1017,67 @@ def run_all(args) -> None:
         print(json.dumps(record), flush=True)
 
 
+def provision_train_long(args, large: bool) -> dict:
+    """Train a LONG-corpus checkpoint to the high-draft-acceptance regime
+    (provision only).
+
+    The long corpus exists to give speculative decode its claimed payoff
+    regime a recorded verdict (VERDICT r4 item 2) — that requires a
+    model that actually REPRODUCES the retrieved drafts. The standard
+    8-epoch bench training (~24 updates) yields fluent but
+    content-confused answers (EM 2.1%, draft acceptance ~0), which would
+    make the recorded spec stage measure pure verify overhead. The
+    regime probe (scripts/probe_spec_regime.py, docs/TPU_NOTES.md r5)
+    measured 60 epochs at B=128 reaching 86% draft acceptance in ~128 s
+    of device time — but the standard train loop saves a ~0.8-1.3 GB
+    checkpoint on every best-validation epoch through a ~14 MB/s tunnel
+    (~25 min of fetches at this epoch count). So long-style provisioning
+    trains IN-PROCESS with the per-epoch saves patched out and writes
+    ONE params-only checkpoint at the end (last-epoch params rather than
+    best-validation — equivalent on this monotonically-converging toy
+    corpus, and serving is what the checkpoint is for). The short/open
+    checkpoints keep the reference-semantics training path.
+    """
+    import gc
+
+    from multimodalpromptretrieval_tpu.train import checkpoint as ck_mod
+    from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+    gc.collect()  # never hold two experiments' params (r4 OOM lesson)
+    base = _t5_large_args(args) if large else args
+    ver = getattr(base, "t5_version", "t5-small")
+    name = "ckpt_" + ("t5_large" if large else "t5_small") + "_long"
+    ckpt = trained_ckpt_path(base, args.data_dir, "long", ver)
+    if os.path.exists(ckpt):
+        return {name: "ok"}
+    tiny = args.preset == "tiny"
+    cfg, log_root, model_root = _bench_setup(base, args.data_dir, tiny,
+                                             "long")
+    over = {"epochs": (args.t5_large_long_epochs if large
+                       else args.long_epochs)}
+    over["batch_size"] = (args.t5_large_train_batch if large
+                          else args.long_train_batch)
+    tcfg = dict(cfg)
+    tcfg["hyperparameters"] = dict(cfg["hyperparameters"], **over)
+    if large:  # same single-chip trainer shape as the open checkpoint
+        tcfg["t5_overrides"] = {"attention_impl": "xla", "remat": True}
+    saved = ck_mod.save_checkpoint
+    ck_mod.save_checkpoint = lambda *a, **k: None
+    try:
+        tr = Experiment(tcfg, train_mode=True, quiet=True,
+                        log_root=log_root, model_root=model_root)
+        tr.train()
+    finally:
+        ck_mod.save_checkpoint = saved
+    assert tr.model_path == ckpt, (tr.model_path, ckpt)
+    ck_mod.save_checkpoint(ckpt, tr.params, None, metadata={
+        "provision": "long-style deferred single save (params only)",
+        "epochs": over["epochs"], "config": tcfg})
+    del tr
+    gc.collect()
+    return {name: "ok"}
+
+
 def run_provision(args) -> None:
     """``--mode provision``: one command rebuilds EVERYTHING a recorded
     ``--mode all`` run needs on a cold host (VERDICT r4 item 1).
@@ -1076,11 +1137,16 @@ def run_provision(args) -> None:
         _run_stage("ckpt_t5_small_short", ckpt("short", False), done,
                    errors)
         _run_stage("ckpt_t5_small_open", ckpt("open", False), done, errors)
-        _run_stage("ckpt_t5_small_long", ckpt("long", False), done, errors)
+        # long-style checkpoints: high-acceptance training with ONE
+        # deferred save (provision_train_long docstring)
+        _run_stage("ckpt_t5_small_long",
+                   lambda: provision_train_long(args, False), done,
+                   errors)
         if args.preset != "tiny":  # tiny = CPU smoke; no t5-large dims
             _run_stage("ckpt_t5_large_open", ckpt("open", True), done,
                        errors)
-            _run_stage("ckpt_t5_large_long", ckpt("long", True), done,
+            _run_stage("ckpt_t5_large_long",
+                       lambda: provision_train_long(args, True), done,
                        errors)
         _run_stage("warm_all", warm, done, errors)
     finally:
@@ -1105,6 +1171,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "t5_large): fwd/bwd activations at B=128 don't "
                         "fit next to the fp32 AdamW moments on a 16 GB "
                         "chip")
+    p.add_argument("--long-epochs", type=int, default=60,
+                   help="provision: t5-small long-corpus training epochs "
+                        "(60 reaches ~86%% draft acceptance — the "
+                        "spec-decode regime measurement needs it; "
+                        "scripts/probe_spec_regime.py)")
+    p.add_argument("--long-train-batch", type=int, default=128,
+                   help="provision: t5-small long-corpus training batch "
+                        "(128 -> ~9 updates/epoch on the 1,230-QA "
+                        "corpus)")
+    p.add_argument("--t5-large-long-epochs", type=int, default=15,
+                   help="provision: t5-large long-corpus training epochs "
+                        "(B=32 -> ~38 updates/epoch, so 15 epochs ~ the "
+                        "~570 updates the t5-small acceptance probe "
+                        "needed; saves are deferred to one final "
+                        "params-only write)")
     p.add_argument("--t5-large-epochs", type=int, default=2,
                    help="t5-large checkpoint training epochs: 2 epochs "
                         "at B=32 = ~78 updates, plenty for the synthetic "

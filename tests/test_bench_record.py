@@ -118,7 +118,15 @@ def test_provision_trains_every_gated_checkpoint(monkeypatch, capsys,
                       train_if_missing))
         return (800.0, 790.0, 900.0)
 
+    long_calls = []
+
+    def fake_long(a, large):
+        long_calls.append(large)
+        name = "ckpt_" + ("t5_large" if large else "t5_small") + "_long"
+        return {name: "ok"}
+
     _stub_all(monkeypatch, run_e2e_trained=fake_trained)
+    monkeypatch.setattr(bench, "provision_train_long", fake_long)
     bench.run_provision(_args(tmp_path))
     # the warm pass redirects run_all's record off stdout: exactly one
     # stdout JSON line total (the driver contract)
@@ -126,12 +134,15 @@ def test_provision_trains_every_gated_checkpoint(monkeypatch, capsys,
                   if ln.startswith("{")]
     assert len(json_lines) == 1
     rec = json.loads(json_lines[0])
+    # short/open train through the reference-semantics path; long styles
+    # through the high-acceptance deferred-save trainer
     trained = {(v, s) for v, s, t in calls if t}
     assert trained == {("t5-small", "short"), ("t5-small", "open"),
-                       ("t5-small", "long"), ("t5-large", "open"),
-                       ("t5-large", "long")}
+                       ("t5-large", "open")}
+    assert long_calls == [False, True]
     assert rec["metric"] == "bench_provision"
     assert rec["provisioned"]["ckpt_t5_large_long"] == "ok"
+    assert rec["provisioned"]["ckpt_t5_small_long"] == "ok"
     assert rec["provisioned"]["warmed_all_programs"] is True
     assert "errors" not in rec
 
@@ -147,6 +158,10 @@ def test_provision_survives_one_dead_checkpoint(monkeypatch, capsys,
         return (800.0, 790.0, 900.0)
 
     _stub_all(monkeypatch, run_e2e_trained=flaky_trained)
+    monkeypatch.setattr(
+        bench, "provision_train_long",
+        lambda a, large: {"ckpt_" + ("t5_large" if large else "t5_small")
+                          + "_long": "ok"})
     bench.run_provision(_args(tmp_path))
     rec = _record(capsys)
     assert "ckpt_t5_large_open" in rec["errors"]
