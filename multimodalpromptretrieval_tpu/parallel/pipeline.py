@@ -413,18 +413,26 @@ def make_train_step_pp(cfg: mprgen.MPRGenConfig, trainable=None, *,
         if tp_axis is not None:
             loss = lax.psum(loss, tp_axis)
 
-        # Block grads are complete on their (stage, TP-shard) — autodiff
-        # routed them through the reverse ring and the in-block psum
-        # transposes. rel_bias grads are complete for the LOCAL head
-        # shard but partial over stages. Replicated-param grads are
-        # per-rank partials everywhere — sum over "pipe" (and "model":
-        # each TP rank's grad is the partial through its own copy). The
-        # loss is globally normalized, so the data merge is a sum too.
+        # Merge rule derived from each param's OWN spec: a grad is
+        # complete along every axis the param is sharded over (autodiff
+        # routed those contributions through the reverse ring / the
+        # in-block psum transposes) and a per-rank PARTIAL along every
+        # axis the param is replicated over — so psum exactly over the
+        # axes missing from the spec. This covers the subtle case the
+        # suffix-based rule got wrong (r5 review sweep, verified
+        # empirically): block-path layer-norm scales are
+        # model-REPLICATED (only the ndim==3 kernels are model-sharded),
+        # and their cotangents arrive through the column-sharded dense
+        # backward as per-model-rank partials — without the "model" psum
+        # the nominally replicated ln copies silently diverge (~full
+        # grad magnitude per step). The loss is globally normalized, so
+        # the data merge is a sum too.
         def merge(path, g):
-            if not _is_block_path(path):
+            spec = _pp_tp_spec(path, g, n_model)
+            if "pipe" not in spec:
                 g = lax.psum(g, "pipe")
-                if tp_axis is not None and not _is_rel_bias_path(path):
-                    g = lax.psum(g, tp_axis)
+            if tp_axis is not None and "model" not in spec:
+                g = lax.psum(g, tp_axis)
             return lax.psum(g, "data")
 
         grads = jax.tree_util.tree_map_with_path(merge, grads)

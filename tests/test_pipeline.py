@@ -274,14 +274,26 @@ def test_pp_tp_train_step_matches_single_device(pp_tp_mesh):
     np.testing.assert_allclose(
         np.asarray(o1["mu"]["t5"]["shared"]),
         np.asarray(o2["mu"]["t5"]["shared"]), rtol=1e-4, atol=1e-6)
-    # a TP-sharded block kernel and the head-sharded rel_bias
+    # a TP-sharded block kernel, the head-sharded rel_bias, and —
+    # crucially — the model-REPLICATED block layer-norm scales, whose
+    # cotangents arrive as per-model-rank partials through the
+    # column-sharded dense backward (the r5 review-sweep bug: without
+    # the "model" psum these silently diverged by ~the full grad)
     for ref_mu, got_mu in (
             (o1["mu"]["t5"]["encoder"]["block"]["ff"]["wi"],
              o2["mu"]["t5"]["encoder"]["block"]["ff"]["wi"]),
             (o1["mu"]["t5"]["encoder"]["rel_bias"],
              o2["mu"]["t5"]["encoder"]["rel_bias"]),
             (o1["mu"]["t5"]["decoder"]["block"]["cross_attn"]["o"],
-             o2["mu"]["t5"]["decoder"]["block"]["cross_attn"]["o"])):
+             o2["mu"]["t5"]["decoder"]["block"]["cross_attn"]["o"]),
+            (o1["mu"]["t5"]["encoder"]["block"]["attn_ln"],
+             o2["mu"]["t5"]["encoder"]["block"]["attn_ln"]),
+            (o1["mu"]["t5"]["encoder"]["block"]["ff_ln"],
+             o2["mu"]["t5"]["encoder"]["block"]["ff_ln"]),
+            (o1["mu"]["t5"]["decoder"]["block"]["self_ln"],
+             o2["mu"]["t5"]["decoder"]["block"]["self_ln"]),
+            (o1["mu"]["t5"]["decoder"]["block"]["cross_ln"],
+             o2["mu"]["t5"]["decoder"]["block"]["cross_ln"])):
         np.testing.assert_allclose(np.asarray(ref_mu), np.asarray(got_mu),
                                    rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
