@@ -54,6 +54,12 @@ def _unflatten_into(template, flat, prefix="", template_on_missing=False):
     return flat[key]
 
 
+def _bf16():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
 def save_checkpoint(path: str, params, opt_state=None,
                     metadata: Optional[Dict[str, Any]] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -75,6 +81,15 @@ def save_checkpoint(path: str, params, opt_state=None,
         # explicit elision record: load treats ONLY these as
         # restore-from-template; any other missing key stays a KeyError
         arrays["__elided_opt__"] = np.asarray(json.dumps(elided))
+    # bf16 leaves (adamw_moments_dtype "bfloat16"): npz's non-pickle
+    # format can't represent ml_dtypes.bfloat16 (it loads back as void
+    # "|V2", which jnp.asarray rejects) — store the raw bits as uint16
+    # and record the keys so load views them back
+    bf16_keys = [k for k, v in arrays.items()
+                 if k != "__elided_opt__" and v.dtype == _bf16()]
+    for k in bf16_keys:
+        arrays[k] = arrays[k].view(np.uint16)
+    arrays["__bf16__"] = np.asarray(json.dumps(bf16_keys))
     np.savez(path, **arrays)
     if metadata is not None:
         with open(path + ".json", "w") as f:
@@ -88,6 +103,10 @@ def load_checkpoint(path: str, params_template,
         flat = {k: z[k] for k in z.files}
     import jax.numpy as jnp
 
+    bf16_marker = flat.pop("__bf16__", None)
+    if bf16_marker is not None:
+        for k in json.loads(str(bf16_marker)):
+            flat[k] = flat[k].view(_bf16())
     marker = flat.pop("__elided_opt__", None)
     # pre-marker files carry every key; True keeps them loading (any
     # genuinely missing key would have raised under the old strict code

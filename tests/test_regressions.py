@@ -341,3 +341,45 @@ def test_checkpoint_template_mismatch_is_informative(tmp_path):
     ckpt.save_checkpoint(path, small)
     with pytest.raises(ValueError, match="proj/w"):
         ckpt.load_checkpoint(path, large)
+
+
+def test_checkpoint_roundtrips_bf16_moments(tmp_path):
+    """`adamw_moments_dtype: "bfloat16"` state must survive a checkpoint
+    save/load round trip with dtype and values intact — the --resume
+    path rebuilds its opt template with the same moments_dtype
+    (train/experiment.py), so loads must restore bf16 leaves, and the
+    frozen-zeros elision must restore bf16 zeros from the template."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from multimodalpromptretrieval_tpu.train.optim import (
+        adamw_init,
+        adamw_update,
+    )
+
+    params = {"t5": {"w": jnp.arange(6.0).reshape(2, 3)},
+              "clip": {"w": jnp.ones((40, 40))}}
+    trainable = {"t5": {"w": True}, "clip": {"w": False}}
+    opt = adamw_init(params, moments_dtype="bfloat16")
+    grads = {"t5": {"w": jnp.full((2, 3), 0.5)},
+             "clip": {"w": jnp.zeros((40, 40))}}
+    params, opt = adamw_update(params, grads, opt, 1e-3,
+                               trainable=trainable)
+    assert opt["mu"]["t5"]["w"].dtype == jnp.bfloat16
+
+    path = str(tmp_path / "ckpt_bf16.npz")
+    save_checkpoint(path, params, opt)
+    template = adamw_init(params, moments_dtype="bfloat16")
+    _, o2, _ = load_checkpoint(path, params, template)
+    assert o2["mu"]["t5"]["w"].dtype == jnp.bfloat16
+    assert o2["mu"]["clip"]["w"].dtype == jnp.bfloat16  # elided -> template
+    np.testing.assert_array_equal(
+        np.asarray(o2["mu"]["t5"]["w"], np.float32),
+        np.asarray(opt["mu"]["t5"]["w"], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(o2["nu"]["t5"]["w"], np.float32),
+        np.asarray(opt["nu"]["t5"]["w"], np.float32))
