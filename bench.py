@@ -903,19 +903,40 @@ def run_all(args) -> None:
     # BENCH_r04.json) and are no longer re-measured every round; the
     # feature stays opt-in (--spec-decode) and fully tested.
 
+    def _long_not_ready(ver: str):
+        """None when the long-style checkpoint exists AND carries the
+        high-acceptance provision marker; otherwise the skip reason.
+        The regime gate must sit here, not only in provision: a long
+        checkpoint from the standard short-training path (e.g. `--mode
+        e2e_trained --corpus-style long`) would otherwise let the
+        recorded spec stage silently measure the EM-2%/zero-acceptance
+        model (r5 review finding)."""
+        base = _t5_large_args(args) if ver == "t5-large" else args
+        ck = trained_ckpt_path(base, args.data_dir, "long", ver)
+        if not os.path.exists(ck):
+            return _PROVISION_HINT
+        if not _is_high_acceptance_ckpt(ck):
+            return ("long checkpoint exists but lacks the "
+                    "high-acceptance provision marker (short-trained "
+                    "regime); run `python bench.py --mode provision` "
+                    "to retrain it")
+        return None
+
     def long_trained_fields():
+        why = _long_not_ready("t5-small")
+        if why:
+            return {"long_trained_skipped": why}
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
                               style="long")
-        if out is None:
-            return {"long_trained_skipped": _PROVISION_HINT}
         return {"long_trained_qa_per_sec": round(out[0], 2),
                 "long_trained_pipelined_qa_per_sec": round(out[2], 2)}
 
     def long_trained_spec_fields():
+        why = _long_not_ready("t5-small")
+        if why:
+            return {"long_trained_spec_skipped": why}
         out = run_e2e_trained(args, args.data_dir, train_if_missing=False,
                               style="long", spec=4)
-        if out is None:
-            return {"long_trained_spec_skipped": _PROVISION_HINT}
         return {"long_trained_spec_decode_qa_per_sec": round(out[0], 2),
                 "long_trained_spec_decode_pipelined_qa_per_sec":
                     round(out[2], 2)}
@@ -997,13 +1018,18 @@ def run_all(args) -> None:
                            errors)
         else:
             record["t5_large_skipped"] = _PROVISION_HINT
-        if _have_ckpt("long", "t5-large"):
+        try:
+            t5l_long_why = _long_not_ready("t5-large")
+        except Exception:
+            traceback.print_exc()
+            t5l_long_why = _PROVISION_HINT
+        if t5l_long_why is None:
             _run_stage("t5_large_long_fp", t5l_long_fp_fields, record,
                        errors)
             _run_stage("t5_large_long_spec", t5l_long_spec_fields,
                        record, errors)
         else:
-            record["t5_large_long_skipped"] = _PROVISION_HINT
+            record["t5_large_long_skipped"] = t5l_long_why
     finally:
         if record.get("value") is None:
             # the headline stage itself died after retries: promote the

@@ -87,9 +87,10 @@ def save_checkpoint(path: str, params, opt_state=None,
     # and record the keys so load views them back
     bf16_keys = [k for k, v in arrays.items()
                  if k != "__elided_opt__" and v.dtype == _bf16()]
-    for k in bf16_keys:
-        arrays[k] = arrays[k].view(np.uint16)
-    arrays["__bf16__"] = np.asarray(json.dumps(bf16_keys))
+    if bf16_keys:  # common fp32 checkpoints keep the pre-r5 key set
+        for k in bf16_keys:
+            arrays[k] = arrays[k].view(np.uint16)
+        arrays["__bf16__"] = np.asarray(json.dumps(bf16_keys))
     np.savez(path, **arrays)
     if metadata is not None:
         with open(path + ".json", "w") as f:
@@ -134,8 +135,16 @@ def load_checkpoint(path: str, params_template,
         oflat = {k[len("opt/"):]: v for k, v in flat.items()
                  if k.startswith("opt/")}
         if oflat:
+            # the TEMPLATE's dtype is authoritative for optimizer state:
+            # the resume config decides ``adamw_moments_dtype``, so a
+            # bf16-moment file resumed under the fp32 default is cast up
+            # (and an fp32 file under a bf16 config cast down) instead
+            # of silently keeping the file's dtype and letting
+            # adamw_update key its storage rounding off the wrong one
             opt_state = jax.tree.map(
-                jnp.asarray,
+                lambda t, v: jnp.asarray(
+                    v, dtype=getattr(t, "dtype", None)),
+                opt_template,
                 _unflatten_into(opt_template, oflat,
                                 template_on_missing=allowed))
     metadata: Dict[str, Any] = {}

@@ -49,7 +49,9 @@ def _run(name: str, cmd, env=None, timeout=3600):
     dt = time.time() - t0
     tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-25:])
     print(tail, flush=True)
-    detail = (r.stdout.strip().splitlines() or [""])[-1][:160]
+    # 220: the dryrun summary line grew past the old 160 cap when the
+    # pp_tp_loss leg was added and the recorded evidence got cut mid-word
+    detail = (r.stdout.strip().splitlines() or [""])[-1][:220]
     return name, ("PASS" if r.returncode == 0 else "FAIL"), dt, detail
 
 

@@ -50,11 +50,30 @@ def _stub_all(monkeypatch, **over):
         monkeypatch.setattr(bench, name, fn)
 
 
+def _forge_long_ckpt(args, data_dir, ver="t5-small", marked=True):
+    """Write a fake long-style checkpoint (+ provision-marked sidecar) at
+    the exact path the ``all`` long stages gate on."""
+    import os
+
+    base = bench._t5_large_args(args) if ver == "t5-large" else args
+    ck = bench.trained_ckpt_path(base, data_dir, "long", ver)
+    os.makedirs(os.path.dirname(ck), exist_ok=True)
+    with open(ck, "wb") as f:
+        f.write(b"npz")
+    with open(ck + ".json", "w") as f:
+        f.write('{"provision": "long-style deferred single save"}'
+                if marked else '{"epoch": 1, "valid_loss": 2.0}')
+    return ck
+
+
 def test_full_stub_record_schema(monkeypatch, capsys, tmp_path):
     """All stages green: every pre-seeded field is populated or None, the
     headline is the e2e number, and there is no errors field."""
     _stub_all(monkeypatch)
-    bench.run_all(_args(tmp_path))
+    args = _args(tmp_path)
+    # the long stages gate on a provision-MARKED checkpoint on disk
+    _forge_long_ckpt(args, str(tmp_path))
+    bench.run_all(args)
     rec = _record(capsys)
     assert rec["value"] == 100.0
     assert rec["vs_baseline"] == pytest.approx(0.05)
@@ -297,3 +316,27 @@ def test_no_int8_skips_int8_stages(monkeypatch, capsys, tmp_path):
     assert calls["n"] == 0
     assert rec["e2e_int8_qa_per_sec"] is None
     assert rec["value"] == 100.0
+
+
+def test_unmarked_long_checkpoint_is_refused_in_mode_all(
+        monkeypatch, capsys, tmp_path):
+    """A long-style checkpoint WITHOUT the high-acceptance provision
+    marker (written by the standard short-training path) must be
+    skipped with an explanatory marker, never measured: its ~zero draft
+    acceptance would let the recorded spec stage silently measure pure
+    verify overhead (r5 review finding)."""
+    _stub_all(monkeypatch)
+    args = _args(tmp_path)
+    ck = _forge_long_ckpt(args, str(tmp_path), marked=False)
+    bench.run_all(args)
+    rec = _record(capsys)
+    assert "provision marker" in rec["long_trained_skipped"]
+    assert "provision marker" in rec["long_trained_spec_skipped"]
+    assert rec["long_trained_qa_per_sec"] is None
+    # a MARKED checkpoint at the same path runs the stages
+    with open(ck + ".json", "w") as f:
+        f.write('{"provision": "long-style deferred single save"}')
+    bench.run_all(args)
+    rec = _record(capsys)
+    assert "long_trained_skipped" not in rec
+    assert rec["long_trained_qa_per_sec"] == 800.0

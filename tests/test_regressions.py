@@ -383,3 +383,35 @@ def test_checkpoint_roundtrips_bf16_moments(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(o2["nu"]["t5"]["w"], np.float32),
         np.asarray(opt["nu"]["t5"]["w"], np.float32))
+
+
+def test_checkpoint_opt_dtype_follows_resume_template(tmp_path):
+    """The resume config's moments dtype is authoritative: a bf16-moment
+    file resumed under the fp32 default casts up (and vice versa) —
+    silently keeping the file's dtype would let adamw_update key its
+    storage rounding off the wrong config (r5 review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalpromptretrieval_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from multimodalpromptretrieval_tpu.train.optim import adamw_init
+
+    params = {"t5": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    opt16 = adamw_init(params, moments_dtype="bfloat16")
+    opt16["mu"]["t5"]["w"] = jnp.full((2, 3), 0.125, jnp.bfloat16)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, opt16)
+
+    _, o32, _ = load_checkpoint(path, params, adamw_init(params))
+    assert o32["mu"]["t5"]["w"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(o32["mu"]["t5"]["w"]), 0.125)
+
+    opt32 = adamw_init(params)
+    opt32["nu"]["t5"]["w"] = jnp.full((2, 3), 0.25)
+    save_checkpoint(path, params, opt32)
+    _, o16, _ = load_checkpoint(
+        path, params, adamw_init(params, moments_dtype="bfloat16"))
+    assert o16["nu"]["t5"]["w"].dtype == jnp.bfloat16
