@@ -734,6 +734,12 @@ def _t5_large_trainer_overrides(args) -> dict:
         # them and their device->host fetch is ~6 GB per save through a
         # 10-25 MB/s tunnel
         "checkpoint_save_optimizer": 0,
+        # bf16 moment storage (fp32 math — train/optim.py): halves the
+        # ~5.9 GB of fp32 mu/nu, which is what lets the trainer fit
+        # B=64 (fp32 moments OOM at B=64 — r5 probe,
+        # scripts/probe_t5large_moments.py: 269 ex/s at B=32 fp32 vs
+        # 346 ex/s at B=64 bf16, +29%)
+        "adamw_moments_dtype": "bfloat16",
         "epochs": args.t5_large_epochs,
     }
 
@@ -1110,8 +1116,10 @@ def provision_train_long(args, large: bool) -> dict:
                           else args.long_train_batch)
     tcfg = dict(cfg)
     tcfg["hyperparameters"] = dict(cfg["hyperparameters"], **over)
-    if large:  # same single-chip trainer shape as the open checkpoint
-        tcfg["t5_overrides"] = {"attention_impl": "xla", "remat": True}
+    if large:  # the same single-chip trainer recipe as the open ckpt
+        tover = _t5_large_trainer_overrides(args)
+        tover.pop("epochs")  # provision sets its own epoch count above
+        tcfg.update(tover)
     saved = ck_mod.save_checkpoint
     ck_mod.save_checkpoint = lambda *a, **k: None
     try:
@@ -1217,11 +1225,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="t5-large stages: serve batch (128 = the batch "
                         "where the spec4 decode win was measured; the "
                         "cross-KV caches scale with layers*d_model)")
-    p.add_argument("--t5-large-train-batch", type=int, default=32,
-                   help="t5-large checkpoint training batch (mode "
-                        "t5_large): fwd/bwd activations at B=128 don't "
-                        "fit next to the fp32 AdamW moments on a 16 GB "
-                        "chip")
+    p.add_argument("--t5-large-train-batch", type=int, default=64,
+                   help="t5-large checkpoint training batch: 64 fits "
+                        "with the recipe's bf16 AdamW moments and runs "
+                        "+29%% over the old fp32 B=32 recipe (fp32 "
+                        "moments OOM at B=64; B=128 doesn't fit either "
+                        "way on a 16 GB chip — "
+                        "scripts/probe_t5large_moments.py)")
     p.add_argument("--long-epochs", type=int, default=60,
                    help="provision: t5-small long-corpus training epochs "
                         "(60 reaches ~86%% draft acceptance — the "
