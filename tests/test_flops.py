@@ -153,3 +153,17 @@ def test_clip_text_flops_match_cost_analysis():
     ca = _ca_flops(lambda p, x: clip_encode_text(p, cfg, x), params, ids)
     an = F.clip_text_flops(cfg, B, L)
     assert an == pytest.approx(ca, rel=0.10), (ca, an)
+
+
+def test_t5_encoder_flops_gated_gelu_variant():
+    """The v1.1 gated-gelu FF counts 3 projections (wi_0/wi_1/wo) — pin
+    it against the compiled count like the relu path."""
+    cfg = _t5_cfg(feed_forward_proj="gated-gelu")
+    params = init_t5(jax.random.PRNGKey(0), cfg)
+    B, L = 4, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, L, cfg.d_model))
+    mask = jnp.ones((B, L), jnp.int32)
+    ca = _ca_flops(lambda p, x, m: t5_encode(p, cfg, x, m), params, x,
+                   mask)
+    an = F.t5_encoder_flops(cfg, B, L)
+    assert an == pytest.approx(ca, rel=0.10), (ca, an)

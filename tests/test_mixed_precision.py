@@ -86,3 +86,29 @@ def test_bf16_adamw_moments_track_fp32_trajectory():
     np.testing.assert_allclose(np.asarray(p32["t5"]["shared"]),
                                np.asarray(p16["t5"]["shared"]),
                                rtol=5e-2, atol=5e-4)
+
+
+def test_adamw_moments_dtype_config_key_reaches_opt_state(tmp_path):
+    """`adamw_moments_dtype` in the experiment JSON must reach the
+    allocated optimizer state (the key the bench t5-large trainer
+    recipe relies on)."""
+    import os
+
+    from multimodalpromptretrieval_tpu.data.synthetic import (
+        generate_synthetic_slake,
+        synthetic_config,
+    )
+    from multimodalpromptretrieval_tpu.train.experiment import Experiment
+
+    root = str(tmp_path)
+    generate_synthetic_slake(os.path.join(root, "SLAKE"), n_train=8,
+                             n_validate=4, n_test=4, image_size=32,
+                             seed=5)
+    cfg = synthetic_config(root, batch_size=4, epochs=1)
+    cfg["clip_overrides"]["image_resolution"] = 32
+    cfg["adamw_moments_dtype"] = "bfloat16"
+    exp = Experiment(cfg, train_mode=True, quiet=True,
+                     log_root=os.path.join(root, "logs"),
+                     model_root=os.path.join(root, "models"))
+    assert exp.opt_state["mu"]["t5"]["shared"].dtype == jnp.bfloat16
+    assert exp.opt_state["nu"]["t5"]["shared"].dtype == jnp.bfloat16
