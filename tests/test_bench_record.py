@@ -340,3 +340,84 @@ def test_unmarked_long_checkpoint_is_refused_in_mode_all(
     rec = _record(capsys)
     assert "long_trained_skipped" not in rec
     assert rec["long_trained_qa_per_sec"] == 800.0
+
+
+def test_provision_long_large_uses_unified_trainer_recipe(
+        monkeypatch, tmp_path):
+    """provision_train_long at t5-large must train with the SAME
+    single-chip recipe as the open checkpoint (_t5_large_trainer_overrides
+    — scan+remat t5_overrides, bf16 AdamW moments, params-only saves),
+    with provision's own epoch count and train batch, and write ONE
+    provision-marked params-only checkpoint (r5: the unified recipe
+    landed after the last full-suite run; pin it pure-host)."""
+    import bench as bench_mod
+    from multimodalpromptretrieval_tpu.train import checkpoint as ck_mod
+    from multimodalpromptretrieval_tpu.train import experiment as exp_mod
+
+    args = _args(tmp_path)
+    captured: dict = {}
+    saves: list = []
+
+    def fake_setup(base, data_dir, tiny, style="short"):
+        assert style == "long"
+        return ({"hyperparameters": {"batch_size": 512, "epochs": 1},
+                 "t5_overrides": {"attention_impl": "row"}},
+                str(tmp_path / "logs"), str(tmp_path / "models"))
+
+    class FakeExperiment:
+        def __init__(self, cfg, **kw):
+            captured["cfg"] = cfg
+            ver = "t5-large" if cfg.get("large_leg") else "t5-small"
+            base = (bench_mod._t5_large_args(args) if ver == "t5-large"
+                    else args)
+            self.model_path = bench_mod.trained_ckpt_path(
+                base, args.data_dir, "long", ver)
+            self.params = {"w": 0}
+
+        def train(self):
+            captured["trained_with"] = dict(captured["cfg"])
+
+    monkeypatch.setattr(bench_mod, "_bench_setup", fake_setup)
+    monkeypatch.setattr(exp_mod, "Experiment", FakeExperiment)
+    monkeypatch.setattr(
+        ck_mod, "save_checkpoint",
+        lambda path, params, opt, metadata=None: saves.append(
+            (path, metadata)))
+
+    # ---- t5-large leg: the unified recipe must be present ----
+    def fake_setup_large(base, data_dir, tiny, style="short"):
+        cfg, lr, mr = fake_setup(base, data_dir, tiny, style)
+        cfg["large_leg"] = True
+        return cfg, lr, mr
+
+    monkeypatch.setattr(bench_mod, "_bench_setup", fake_setup_large)
+    out = bench_mod.provision_train_long(args, large=True)
+    assert out == {"ckpt_t5_large_long": "ok"}
+    cfg = captured["trained_with"]
+    # trainer-only overrides replace the serving row towers wholesale
+    assert cfg["t5_overrides"] == {"attention_impl": "xla", "remat": True}
+    assert cfg["adamw_moments_dtype"] == "bfloat16"
+    assert cfg["checkpoint_save_optimizer"] == 0
+    # provision's own schedule, not the open-checkpoint epoch count
+    assert cfg["hyperparameters"]["epochs"] == args.t5_large_long_epochs
+    assert (cfg["hyperparameters"]["batch_size"]
+            == args.t5_large_train_batch)
+    assert "epochs" not in cfg  # popped before the top-level update
+    # ONE deferred, provision-marked, params-only save at the gated path
+    assert len(saves) == 1
+    path, meta = saves[0]
+    assert path == bench_mod.trained_ckpt_path(
+        bench_mod._t5_large_args(args), args.data_dir, "long", "t5-large")
+    assert "provision" in meta
+
+    # ---- t5-small leg: no t5-large recipe keys may leak ----
+    saves.clear()
+    monkeypatch.setattr(bench_mod, "_bench_setup", fake_setup)
+    out = bench_mod.provision_train_long(args, large=False)
+    assert out == {"ckpt_t5_small_long": "ok"}
+    cfg = captured["trained_with"]
+    assert cfg["t5_overrides"] == {"attention_impl": "row"}
+    assert "adamw_moments_dtype" not in cfg
+    assert cfg["hyperparameters"]["epochs"] == args.long_epochs
+    assert cfg["hyperparameters"]["batch_size"] == args.long_train_batch
+    assert len(saves) == 1 and "provision" in saves[0][1]
